@@ -1,0 +1,68 @@
+"""Shared types for the TPU Gaussian-splatting rasterizer.
+
+The rasterizer replaces the reference's external CUDA dependency
+`diff-gaussian-rasterization` (invoked via `src/model/decoder/cuda_splatting.py`)
+with a TPU-native design: vectorized EWA projection, stable-sort tile binning
+with static capacities, and MXU-friendly chunked alpha compositing
+(transmittance as exp-of-cumsum, color accumulation as matmul).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterizer configuration (hashable; safe as a jit static arg).
+
+    Numeric constants mirror the reference CUDA rasterizer's behavior so the
+    two produce allclose images: 3-sigma radius, 0.3-pixel covariance
+    dilation, alpha clamp 0.99, alpha cutoff 1/255, transmittance stop 1e-4,
+    near-plane cull at z=0.2.
+    """
+
+    tile_size: int = 16            # pixels per tile side
+    max_tiles_per_gaussian_side: int = 5   # static cap on tile-AABB side
+    tile_capacity: int = 1024      # max gaussians composited per tile
+    chunk: int = 128               # gaussians per compositing step
+    near_cull: float = 0.2
+    dilation: float = 0.3
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1e-4
+    sigma_radius: float = 3.0
+
+    @property
+    def max_dup(self) -> int:
+        return self.max_tiles_per_gaussian_side**2
+
+
+class Camera(NamedTuple):
+    """Per-view camera data, pixel units. All fields broadcastable leading dims."""
+
+    w2c: Array        # (..., 4, 4) world-to-camera
+    campos: Array     # (..., 3) camera origin in world space
+    fx: Array         # (...,) focal length, pixels
+    fy: Array
+    cx: Array         # (...,) principal point, pixels
+    cy: Array
+    tan_fov_x: Array  # (...,) for EWA clamping
+    tan_fov_y: Array
+
+
+class ScreenGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities after projection (per camera)."""
+
+    xy: Array        # (..., n, 2) pixel coords
+    depth: Array     # (..., n) camera-space z
+    conic: Array     # (..., n, 3) upper-tri inverse 2D covariance (a, b, c)
+    radius: Array    # (..., n) pixel radius (0 => culled)
+    color: Array     # (..., n, channels) view-dependent color
+    opacity: Array   # (..., n)
+    valid: Array     # (..., n) bool
