@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...geometry.projection import se3_inverse
-from .binning import bin_gaussians
+from .binning import bin_gaussians, bin_gaussians_batched
 from .project import make_camera, project_gaussians
 from .reference_impl import composite_bruteforce
 from .tiled import composite_tiles
@@ -67,6 +67,22 @@ def render(
 
     camera = make_camera(extrinsics, intrinsics, image_shape)
 
+    if impl == "pallas":
+        # Flat-batch path: projection is pure elementwise math (vmap is
+        # free), but binning + compositing fold the batch into the tile
+        # grid — batching those under vmap lowers ~4x slower on TPU.
+        from .pallas_impl import composite_tiles_pallas_batched
+
+        screen = jax.vmap(
+            lambda cam, m, c, o, s: project_gaussians(
+                cam, m, c, o, s, sh_degree, config, use_sh=use_sh
+            )
+        )(camera, means, covariances, opacities, sh)
+        binned = bin_gaussians_batched(screen, image_shape, config)
+        return composite_tiles_pallas_batched(
+            screen, binned, image_shape, background, config
+        )
+
     def render_one(cam, mean, cov, op, sh_one, bg):
         screen = project_gaussians(
             cam, mean, cov, op, sh_one, sh_degree, config, use_sh=use_sh
@@ -76,11 +92,6 @@ def render(
         elif impl == "tiled":
             binned = bin_gaussians(screen, image_shape, config)
             return composite_tiles(screen, binned, image_shape, bg, config)
-        elif impl == "pallas":
-            from .pallas_fwd import composite_tiles_pallas
-
-            binned = bin_gaussians(screen, image_shape, config)
-            return composite_tiles_pallas(screen, binned, image_shape, bg, config)
         raise ValueError(f"unknown rasterizer impl: {impl}")
 
     return jax.vmap(render_one)(camera, means, covariances, opacities, sh, background)

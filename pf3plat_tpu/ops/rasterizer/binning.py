@@ -1,22 +1,23 @@
 """Tile binning with static shapes — the TPU answer to CUDA's atomics+radix.
 
 The reference's CUDA rasterizer builds variable-length per-tile gaussian
-lists with atomic counters and a global radix sort. TPUs have neither
-atomics nor dynamic shapes, so binning is reformulated as:
+lists with atomic counters and a global 64-bit radix sort over (tile, depth)
+keys. TPUs have neither atomics nor dynamic shapes; additionally, dynamic
+gathers are slow (~66M rows/s measured on v5e) and XLA's sort is
+comparison-based. The design here minimizes both:
 
-  1. depth-argsort the gaussians once per camera (invalid -> back);
-  2. expand each gaussian into a *static* number of (tile, rank) candidate
-     pairs (`max_dup` covering its clamped tile AABB);
-  3. one ascending sort of packed int32 keys `tile * R + rank` — because rank
-     is the depth order, the per-tile segments of the sorted key array are
-     automatically front-to-back;
-  4. segment starts via searchsorted; scatter into a dense
-     (num_tiles, tile_capacity) index table padded with -1.
+  1. expand each gaussian into a static number of (tile, slot) candidates
+     covering its clamped tile AABB (`max_dup`, default 3x3 tiles);
+  2. ONE multi-key `lax.sort` over (tile_id, depth_bits, gaussian_id) —
+     the float32 depth is bitcast to a monotone int32 key (depths are
+     positive after near-culling), so no pre-argsort and no gather-by-rank
+     passes are needed at all;
+  3. per-tile segment starts via a 1D searchsorted over the sorted tile ids;
+  4. one row-gather builds the dense (num_tiles, capacity) index table,
+     padded with -1.
 
-Everything downstream (XLA scan or Pallas kernel) then runs on dense,
-statically-shaped tables. Gradients do not flow through binning (indices are
-integer data), matching the CUDA design where binning is non-differentiable
-bookkeeping.
+Gradients do not flow through binning (indices are integer data), matching
+the CUDA design where binning is non-differentiable bookkeeping.
 """
 
 from __future__ import annotations
@@ -29,6 +30,8 @@ import jax.numpy as jnp
 from .types import RasterizeConfig, ScreenGaussians
 
 Array = jax.Array
+
+_INT32_MAX = jnp.int32(2**31 - 1)
 
 
 class TileBounds(NamedTuple):
@@ -54,7 +57,7 @@ def tile_bounds(
     ty0 = jnp.clip(jnp.floor((y - r) / ts), 0, tiles_y - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((x + r) / ts), 0, tiles_x - 1).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((y + r) / ts), 0, tiles_y - 1).astype(jnp.int32)
-    # Static cap on the footprint, centered on the AABB's top-left. Gaussians
+    # Static cap on the footprint, anchored at the AABB's top-left. Gaussians
     # larger than side*tile_size pixels are truncated (configurable; at
     # PF3plat's pixel-aligned scales this is unreachable in practice).
     tw = jnp.minimum(tx1 - tx0 + 1, side)
@@ -72,66 +75,99 @@ class BinnedTiles(NamedTuple):
     num_tiles_y: int
 
 
+def _depth_sort_key(depth: Array, valid: Array) -> Array:
+    """Monotone int32 sort key from positive float32 depths."""
+    bits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    return jnp.where(valid & (depth > 0), bits, _INT32_MAX)
+
+
 def bin_gaussians(
     screen: ScreenGaussians,
     image_shape: tuple[int, int],
     config: RasterizeConfig,
 ) -> BinnedTiles:
-    """Bin one camera's gaussians; see module docstring. Shapes are static."""
+    """Bin one camera's gaussians ((n,)-shaped screen fields)."""
+    batched = jax.tree_util.tree_map(lambda x: x[None], screen)
+    out = bin_gaussians_batched(batched, image_shape, config)
+    return BinnedTiles(
+        out.indices[0], out.counts[0], out.num_tiles_x, out.num_tiles_y
+    )
+
+
+def bin_gaussians_batched(
+    screen: ScreenGaussians,
+    image_shape: tuple[int, int],
+    config: RasterizeConfig,
+) -> BinnedTiles:
+    """Bin a batch of cameras' gaussians; see module docstring.
+
+    All ScreenGaussians fields carry a leading batch dim (b, n, ...). Uses a
+    single batched multi-key `lax.sort` along the pair axis and a manual
+    vectorized binary search for segment boundaries (vmapping the 1D
+    formulation lowers ~4x slower on TPU). Returns (b, tiles, cap) indices.
+    """
     h, w = image_shape
     ts = config.tile_size
     tiles_x = -(-w // ts)
     tiles_y = -(-h // ts)
     num_tiles = tiles_x * tiles_y
-    n = screen.depth.shape[-1]
+    b, n = screen.depth.shape
     side = config.max_tiles_per_gaussian_side
     max_dup = config.max_dup
+    cap = config.tile_capacity
+    p = n * max_dup
 
-    # Rank = front-to-back depth order.
-    order = jnp.argsort(jnp.where(screen.valid, screen.depth, jnp.inf))  # (n,)
     bounds = tile_bounds(screen, image_shape, config)
-    tx0, ty0 = bounds.tx0[order], bounds.ty0[order]
-    tw, th = bounds.tw[order], bounds.th[order]
+    visible = (bounds.tw > 0) & (bounds.th > 0)
+    depth_key = _depth_sort_key(screen.depth, visible)  # (b, n)
 
-    # Key packing must fit int32: tiles * rank_range < 2^31.
-    rank_range = n + 1
-    assert num_tiles * rank_range < 2**31, (
-        f"int32 key overflow: {num_tiles} tiles x {rank_range} ranks; "
-        "use a smaller image or raise tile_size"
-    )
+    # Everything below runs on FLAT 1D arrays with the batch folded into the
+    # tile key (key = b_idx * num_tiles + tile): any leading batch dim — even
+    # b=1 — makes lax.sort / take_along_axis lower ~4x slower on TPU.
+    total_pairs = b * p
+    total_tiles = b * num_tiles
+    assert total_tiles * 2 < 2**31
 
-    rank = jnp.arange(n, dtype=jnp.int32)
     slot = jnp.arange(max_dup, dtype=jnp.int32)
     dy = slot // side
     dx = slot % side
-    in_box = (dy[None, :] < th[:, None]) & (dx[None, :] < tw[:, None])  # (n, dup)
-    tile = (ty0[:, None] + dy[None, :]) * tiles_x + (tx0[:, None] + dx[None, :])
-    key = jnp.where(
-        in_box,
-        tile * rank_range + rank[:, None],
-        jnp.int32(2**31 - 1),
-    ).reshape(-1)
+    in_box = (dy < bounds.th[..., None]) & (dx < bounds.tw[..., None])  # (b, n, dup)
+    tile = (bounds.ty0[..., None] + dy) * tiles_x + (bounds.tx0[..., None] + dx)
+    b_off = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[:, None, None]
+    tile_key = jnp.where(in_box, tile + b_off, _INT32_MAX).reshape(total_pairs)
+    depth_keys = jnp.broadcast_to(
+        depth_key[..., None], (b, n, max_dup)
+    ).reshape(total_pairs)
+    ids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :, None], (b, n, max_dup)
+    ).reshape(total_pairs)
 
-    key_sorted = jnp.sort(key)
-    tile_of_pair = key_sorted // rank_range
-    rank_of_pair = key_sorted % rank_range
-    gauss_of_pair = order[jnp.clip(rank_of_pair, 0, n - 1)].astype(jnp.int32)
+    # One flat lexicographic sort: (batch*tile, depth) -> per-tile
+    # front-to-back segments.
+    tile_sorted, _, ids_sorted = jax.lax.sort(
+        (tile_key, depth_keys, ids), num_keys=2
+    )
 
-    # Per-tile segment starts/ends.
-    starts = jnp.searchsorted(
-        key_sorted, jnp.arange(num_tiles, dtype=jnp.int32) * rank_range
-    ).astype(jnp.int32)
-    ends = jnp.searchsorted(
-        key_sorted, (jnp.arange(num_tiles, dtype=jnp.int32) + 1) * rank_range
-    ).astype(jnp.int32)
-    counts = jnp.minimum(ends - starts, config.tile_capacity)
+    # Segment starts via manual vectorized binary search (jnp.searchsorted
+    # lowers very poorly on TPU for batched/2D inputs).
+    targets = jnp.arange(total_tiles + 1, dtype=jnp.int32)
+    lo = jnp.zeros((total_tiles + 1,), jnp.int32)
+    hi = jnp.full((total_tiles + 1,), total_pairs, jnp.int32)
+    for _ in range(max(1, int(total_pairs).bit_length())):
+        mid = (lo + hi) // 2
+        v = tile_sorted[jnp.minimum(mid, total_pairs - 1)]
+        ge = v >= targets
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    starts = lo
+    counts = jnp.minimum(starts[1:] - starts[:-1], cap)  # (b*T,)
 
-    # Dense (num_tiles, capacity) gather of front-to-back gaussian ids.
-    k = jnp.arange(config.tile_capacity, dtype=jnp.int32)
-    pair_pos = starts[:, None] + k[None, :]
+    k = jnp.arange(cap, dtype=jnp.int32)
+    pair_pos = jnp.minimum(starts[:-1, None] + k[None, :], total_pairs - 1)
     in_seg = k[None, :] < counts[:, None]
-    pair_pos = jnp.clip(pair_pos, 0, key.shape[0] - 1)
-    indices = jnp.where(in_seg, gauss_of_pair[pair_pos], -1)
+    gathered = ids_sorted[pair_pos.reshape(-1)].reshape(total_tiles, cap)
+    indices = jnp.where(in_seg, gathered, -1).reshape(b, num_tiles, cap)
+    counts = counts.reshape(b, num_tiles)
 
     return BinnedTiles(
         indices=jax.lax.stop_gradient(indices),

@@ -28,7 +28,7 @@ class RasterizeConfig:
     """
 
     tile_size: int = 16            # pixels per tile side
-    max_tiles_per_gaussian_side: int = 5   # static cap on tile-AABB side
+    max_tiles_per_gaussian_side: int = 3   # static cap on tile-AABB side
     tile_capacity: int = 1024      # max gaussians composited per tile
     chunk: int = 128               # gaussians per compositing step
     near_cull: float = 0.2
