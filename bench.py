@@ -1,0 +1,102 @@
+"""Driver benchmark: rasterizer fwd+bwd throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the BASELINE.json north-star metric — Mrays/s/chip forward+backward
+at 256x256, 2 views, one gaussian per pixel of 2 context views (131k
+gaussians) — through the public decoder path (Pallas rasterizer backend).
+
+The reference repo publishes no numbers (BASELINE.md); `vs_baseline`
+normalizes against an estimated 20 Mrays/s for the reference CUDA
+rasterizer fwd+bwd on its A6000 training hardware at this scene size
+(~6 ms/frame-pair), so >1.0 means faster than the estimated reference.
+
+NOTE: on the axon tunnel, block_until_ready does not synchronize; timing
+uses deep pipelining with a final forced host sync.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MRAYS = 20.0
+
+
+def main() -> None:
+    from pf3plat_tpu.models.decoder import DecoderCfg, decode
+    from pf3plat_tpu.models.types import Gaussians
+    from pf3plat_tpu.ops.rasterizer import RasterizeConfig
+
+    rng = np.random.default_rng(0)
+    b, v, h, w = 1, 2, 256, 256
+    n = 2 * h * w  # one gaussian per pixel of 2 context views
+
+    means = np.stack(
+        [
+            rng.uniform(-2, 2, (b, n)),
+            rng.uniform(-2, 2, (b, n)),
+            rng.uniform(2.0, 8.0, (b, n)),
+        ],
+        axis=-1,
+    )
+    scales = rng.uniform(0.002, 0.02, (b, n, 3))
+    cov = np.zeros((b, n, 3, 3))
+    for i in range(3):
+        cov[..., i, i] = scales[..., i] ** 2
+    sh = (rng.standard_normal((b, n, 3, 25)) * 0.2).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, (b, n))
+
+    to = lambda a: jnp.asarray(a, jnp.float32)
+    gauss = Gaussians(to(means), to(cov), to(sh), to(opac))
+    extr = to(np.broadcast_to(np.eye(4), (b, v, 4, 4)))
+    intr = to(
+        np.broadcast_to(
+            np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]), (b, v, 3, 3)
+        )
+    )
+    near = jnp.ones((b, v))
+    far = jnp.full((b, v), 100.0)
+    target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
+
+    cfg = DecoderCfg(
+        impl="pallas",
+        raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128),
+    )
+
+    def loss_fn(g):
+        out = decode(cfg, g, extr, intr, near, far, (h, w))
+        return jnp.mean((out.color - target) ** 2)
+
+    step = jax.jit(jax.grad(loss_fn))
+
+    # Warm up (compile).
+    g = step(gauss)
+    np.asarray(g.means).ravel()[:1]
+
+    iters = 30
+    t0 = time.time()
+    for _ in range(iters):
+        g = step(gauss)
+    np.asarray(g.means).ravel()[:1]  # forced sync (block_until_ready lies)
+    dt = (time.time() - t0) / iters
+
+    rays = b * v * h * w
+    mrays = rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "rasterizer_fwd_bwd_256x256_2view",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

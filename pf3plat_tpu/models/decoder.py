@@ -1,0 +1,87 @@
+"""Splatting decoder: Gaussians + target cameras -> rendered views.
+
+Mirrors the reference `DecoderSplattingCUDA` (`src/model/decoder/
+decoder_splatting_cuda.py:20-96`): flattens (batch, view) into the render
+batch, repeats the per-scene gaussian field per view, and renders color
+(+ optional depth in any of the four depth modes). Returns channel-last
+images; the rasterizer backend (tiled XLA or Pallas kernels) is selected
+via `impl`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rasterizer import (
+    DepthRenderingMode,
+    RasterizeConfig,
+    render,
+    render_depth,
+)
+from ..ops.rasterizer.api import DEFAULT_CONFIG
+from .types import DecoderOutput, Gaussians
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderCfg:
+    background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    impl: str = "pallas"
+    raster: RasterizeConfig = DEFAULT_CONFIG
+
+
+def decode(
+    cfg: DecoderCfg,
+    gaussians: Gaussians,
+    extrinsics: Array,  # (b, v, 4, 4) c2w
+    intrinsics: Array,  # (b, v, 3, 3) normalized
+    near: Array,        # (b, v)
+    far: Array,         # (b, v)
+    image_shape: tuple[int, int],
+    depth_mode: DepthRenderingMode | None = None,
+) -> DecoderOutput:
+    b, v = extrinsics.shape[:2]
+    flat = lambda x: x.reshape(b * v, *x.shape[2:])
+    rep = lambda x: jnp.repeat(x, v, axis=0)  # (b, g, ...) -> (b*v, g, ...)
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(cfg.background_color, extrinsics.dtype), (b * v, 3)
+    )
+    color = render(
+        flat(extrinsics),
+        flat(intrinsics),
+        flat(near),
+        flat(far),
+        image_shape,
+        bg,
+        rep(gaussians.means),
+        rep(gaussians.covariances),
+        rep(gaussians.harmonics),
+        rep(gaussians.opacities),
+        impl=cfg.impl,
+        config=cfg.raster,
+    )
+    h, w = image_shape
+    color = color.reshape(b, v, h, w, 3)
+
+    depth = None
+    if depth_mode is not None:
+        depth = render_depth(
+            flat(extrinsics),
+            flat(intrinsics),
+            flat(near),
+            flat(far),
+            image_shape,
+            rep(gaussians.means),
+            rep(gaussians.covariances),
+            rep(gaussians.opacities),
+            mode=depth_mode,
+            impl=cfg.impl,
+            config=cfg.raster,
+        ).reshape(b, v, h, w)
+
+    return DecoderOutput(color=color, depth=depth)
