@@ -1,0 +1,132 @@
+"""LDM-style 2D U-Net with cross-view self-attention (Flax, NHWC).
+
+Re-implements the reference's `UNetModel`
+(`src/model/encoder/costvolume/ldm_unet/unet.py:607-1243`) in the
+configuration PF3plat uses: ResBlocks (GroupNorm + SiLU, postnorm variant),
+optional attention at configured downsample rates with the view axis folded
+into the token axis (`unet.py:546-565` — each spatial token attends across
+all views), conv down/upsampling, skip concatenation. No timestep embedding
+(the reference's is commented out).
+
+This module trains from scratch (not a converted checkpoint), so the
+implementation is TPU-idiomatic NHWC rather than a layer-for-layer port.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class ResBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        groups = min(self.groups, c_in, self.out_channels)
+        h = nn.GroupNorm(num_groups=groups)(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3))(h)
+        h = nn.GroupNorm(num_groups=groups)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3),
+                    kernel_init=nn.initializers.zeros)(h)
+        if c_in != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1))(x)
+        return x + h
+
+
+class CrossViewAttention(nn.Module):
+    """Self-attention over (v * h * w) tokens — the view axis is folded into
+    the sequence so every pixel attends across views (`unet.py:546-565`)."""
+
+    num_head_channels: int = 32
+    num_views: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        vb, h, w, c = x.shape
+        v = self.num_views
+        b = vb // v
+        heads = max(1, c // self.num_head_channels)
+        head = c // heads
+
+        y = nn.GroupNorm(num_groups=min(32, c))(x)
+        qkv = nn.Conv(3 * c, (1, 1))(y)
+        # (v b, h, w, 3c) -> (b, v*h*w, 3c); reference layout is (v b).
+        qkv = qkv.reshape(v, b, h * w, 3 * c).transpose(1, 0, 2, 3)
+        qkv = qkv.reshape(b, v * h * w, 3, heads, head)
+        q, k, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = head**-0.5
+        sim = jnp.einsum(
+            "bihd,bjhd->bhij", q * scale, k, precision="highest"
+        )
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v_)
+        out = out.reshape(b, v, h * w, c).transpose(1, 0, 2, 3).reshape(vb, h, w, c)
+        out = nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros)(out)
+        return x + out
+
+
+class UNetModel(nn.Module):
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int = 1
+    attention_resolutions: Sequence[int] = ()
+    channel_mult: Sequence[int] = (1, 1, 1)
+    num_head_channels: int = 32
+    num_views: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        """x: (v*b, h, w, c_in) -> (v*b, h, w, out_channels)."""
+        ch = self.model_channels
+        h = nn.Conv(ch, (3, 3))(x)
+        skips = [h]
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = ResBlock(mult * self.model_channels)(h)
+                if ds in self.attention_resolutions:
+                    h = CrossViewAttention(
+                        self.num_head_channels, self.num_views
+                    )(h)
+                skips.append(h)
+            if level != len(self.channel_mult) - 1:
+                h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2))(h)
+                skips.append(h)
+                ds *= 2
+
+        h = ResBlock(h.shape[-1])(h)
+        if ds in self.attention_resolutions:
+            h = CrossViewAttention(self.num_head_channels, self.num_views)(h)
+        h = ResBlock(h.shape[-1])(h)
+
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(mult * self.model_channels)(h)
+                if ds in self.attention_resolutions:
+                    h = CrossViewAttention(
+                        self.num_head_channels, self.num_views
+                    )(h)
+                if level and i == self.num_res_blocks:
+                    hh, ww = h.shape[1], h.shape[2]
+                    h = jax.image.resize(
+                        h, (h.shape[0], hh * 2, ww * 2, h.shape[3]), "nearest"
+                    )
+                    h = nn.Conv(h.shape[-1], (3, 3))(h)
+                    ds //= 2
+
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]))(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_channels, (3, 3),
+                       kernel_init=nn.initializers.zeros)(h)
