@@ -1,0 +1,118 @@
+"""DINOv2 ViT (Flax), the frozen backbone inside UniDepth-V2.
+
+Mirrors the reference's vendored DINOv2
+(`src/model/unidepth/backbones/dinov2.py`, `backbones/metadinov2/`): patch-14
+embedding, cls token, bicubically interpolated position embeddings
+(`dinov2.py:273-274`), pre-norm transformer blocks with LayerScale, and
+multi-layer feature taps. Parameter layout is designed for 1:1 torch
+checkpoint conversion (see `weight_convert.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTCfg:
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    layerscale_init: float = 1e-5
+    pos_embed_size: int = 37  # 518/14 grid side of the pretrained embedding
+
+    @staticmethod
+    def vit_large() -> "ViTCfg":
+        return ViTCfg()
+
+    @staticmethod
+    def tiny_test() -> "ViTCfg":
+        return ViTCfg(patch_size=14, embed_dim=64, depth=2, num_heads=4,
+                      pos_embed_size=8)
+
+
+class Block(nn.Module):
+    cfg: ViTCfg
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = self.cfg
+        d = c.embed_dim
+        ls = nn.initializers.constant(c.layerscale_init)
+
+        y = nn.LayerNorm(name="norm1")(x)
+        qkv = nn.Dense(3 * d, name="attn_qkv")(y)
+        b, n, _ = y.shape
+        qkv = qkv.reshape(b, n, 3, c.num_heads, d // c.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = (d // c.num_heads) ** -0.5
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, precision="highest")
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+        out = nn.Dense(d, name="attn_proj")(out)
+        gamma1 = self.param("ls1_gamma", ls, (d,))
+        x = x + gamma1 * out
+
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(d * c.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(d, name="mlp_fc2")(y)
+        gamma2 = self.param("ls2_gamma", ls, (d,))
+        return x + gamma2 * y
+
+
+class DINOv2(nn.Module):
+    cfg: ViTCfg
+    out_layers: Sequence[int] = (11, 23)
+
+    @nn.compact
+    def __call__(self, image: Array) -> list[Array]:
+        """image: (b, h, w, 3), h/w divisible by patch_size.
+        Returns the tapped layers' patch tokens as (b, hp, wp, dim) maps."""
+        c = self.cfg
+        b, h, w, _ = image.shape
+        p = c.patch_size
+        hp, wp = h // p, w // p
+
+        x = nn.Conv(
+            c.embed_dim, (p, p), strides=(p, p), name="patch_embed"
+        )(image)
+        x = x.reshape(b, hp * wp, c.embed_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, c.embed_dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, c.pos_embed_size * c.pos_embed_size + 1, c.embed_dim),
+        )
+        cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        if (hp, wp) != (c.pos_embed_size, c.pos_embed_size):
+            # Bicubic interpolation of the grid (reference dinov2.py:273-274).
+            grid = patch_pos.reshape(
+                1, c.pos_embed_size, c.pos_embed_size, c.embed_dim
+            )
+            grid = jax.image.resize(
+                grid, (1, hp, wp, c.embed_dim), "cubic"
+            )
+            patch_pos = grid.reshape(1, hp * wp, c.embed_dim)
+        x = x + patch_pos
+        cls_tok = jnp.broadcast_to(cls + cls_pos, (b, 1, c.embed_dim))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        taps = []
+        for i in range(c.depth):
+            x = Block(c, name=f"block_{i}")(x)
+            if i in self.out_layers:
+                taps.append(x[:, 1:].reshape(b, hp, wp, c.embed_dim))
+        return taps

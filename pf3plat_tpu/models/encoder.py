@@ -251,6 +251,11 @@ class PoseFreeEncoder(nn.Module):
             )(keys, jax.lax.stop_gradient(x_i), jax.lax.stop_gradient(x_j), weights,
               jax.lax.stop_gradient(thr))
             rel = make_rt(fit.r, fit.t)  # (b, 4, 4) maps cam-i -> cam-j
+            # Degenerate-pair fallback: with too few valid matches the fit is
+            # meaningless; use identity like the reference's PnP try/except
+            # (`encoder_costvolume.py:349-363`).
+            enough = (corr.valid[:, p].sum(-1) >= 8)[:, None, None]
+            rel = jnp.where(enough, rel, jnp.eye(4, dtype=rel.dtype))
             rel_list.append(rel)
             msum = corr.valid[:, p].sum(-1)
             conf = jnp.where(
