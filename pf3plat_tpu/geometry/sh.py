@@ -39,14 +39,9 @@ _C4 = (2.5033429417967046, 1.7701307697799304, 0.9461746957575601,
        0.47308734787878004, 1.7701307697799304, 0.6258357354491761)
 
 
-def sh_basis(directions: Array, degree: int) -> Array:
-    """Evaluate the real SH basis at unit directions.
-
-    directions: (..., 3) unit vectors. Returns (..., (degree+1)**2) ordered
-    (l, m) with m = -l..l, matching the rotation operator below.
-    """
-    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
-    out = [jnp.full_like(x, _C0)]
+def _basis_components(x, y, z, degree: int, xp):
+    """Basis polynomials in any array namespace (jnp on device, np on host)."""
+    out = [xp.full_like(x, _C0)]
     if degree >= 1:
         out += [_C1 * y, _C1 * z, _C1 * x]
     if degree >= 2:
@@ -80,7 +75,18 @@ def sh_basis(directions: Array, degree: int) -> Array:
             _C4[7] * x * z * (xx - 3 * yy),
             _C4[8] * (xx * xx - 6 * xx * yy + yy * yy),
         ]
-    return jnp.stack(out, axis=-1)
+    return xp.stack(out, axis=-1)
+
+
+def sh_basis(directions: Array, degree: int) -> Array:
+    """Evaluate the real SH basis at unit directions.
+
+    directions: (..., 3) unit vectors. Returns (..., (degree+1)**2) ordered
+    (l, m) with m = -l..l, matching the rotation operator below.
+    """
+    return _basis_components(
+        directions[..., 0], directions[..., 1], directions[..., 2], degree, jnp
+    )
 
 
 def eval_sh(sh: Array, directions: Array, degree: int) -> Array:
@@ -108,7 +114,9 @@ def _sample_dirs_and_pinv(degree: int) -> tuple[np.ndarray, tuple[np.ndarray, ..
         [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)],
         axis=-1,
     )
-    basis = np.asarray(jax.device_get(sh_basis(jnp.asarray(dirs), degree)), np.float64)
+    basis = _basis_components(
+        dirs[:, 0], dirs[:, 1], dirs[:, 2], degree, np
+    ).astype(np.float64)
     pinvs = []
     for l in range(degree + 1):
         bt = basis[:, l * l : (l + 1) * (l + 1)]  # B^T, shape (n, 2l+1)

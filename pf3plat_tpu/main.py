@@ -1,0 +1,225 @@
+"""CLI entry point: `python -m pf3plat_tpu.main [config.yaml] key=value ...`.
+
+Plays the role of the reference's `src/main.py:37-155` (Hydra entry, Trainer
+setup, fit/test): loads the typed config, builds the model + data pipeline,
+and runs the training loop (SPMD over the device mesh, orbax checkpoints,
+periodic logging) or the evaluation harness.
+
+Modes:
+  mode=train   train on chunk datasets under dataset.roots
+  mode=test    run the evaluation protocol over the test split
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_model(cfg):
+    from .models.backbones.dinov2 import ViTCfg
+    from .models.backbones.unidepth import UniDepthCfg
+    from .models.pf3plat import PF3plat, PF3platCfg
+
+    vit = ViTCfg.tiny_test() if cfg.model.tiny_backbones else ViTCfg.vit_large()
+    return PF3plat(
+        PF3platCfg(
+            encoder=cfg.encoder,
+            decoder=cfg.decoder,
+            unidepth=UniDepthCfg(vit=vit),
+            max_keypoints=cfg.model.max_keypoints,
+            max_matches=cfg.model.max_matches,
+            lightglue_layers=cfg.model.lightglue_layers,
+        )
+    )
+
+
+def batch_iterator(cfg, stage, host_id, num_hosts, get_step):
+    """Yield fixed-shape batches, grouping examples by view count."""
+    from .data.dataset import ChunkDataset, batch_examples
+    from .data.view_samplers import BoundedViewSampler, EvaluationViewSampler
+
+    if cfg.evaluation_index is not None and stage == "test":
+        sampler = EvaluationViewSampler(cfg.evaluation_index)
+    else:
+        sampler = BoundedViewSampler(cfg.view_sampler, stage=stage)
+    ds = ChunkDataset(
+        cfg.dataset, sampler, stage=stage, host_id=host_id,
+        num_hosts=num_hosts, seed=cfg.data_loader.seed,
+    )
+    target_bs = cfg.data_loader.batch_size if stage == "train" else 1
+    pending: dict[int, list] = {}
+    while True:
+        produced = False
+        for ex in ds.examples(global_step=get_step()):
+            produced = True
+            v = ex["context"]["image"].shape[0]
+            pending.setdefault(v, []).append(ex)
+            if len(pending[v]) == target_bs:
+                yield batch_examples(pending.pop(v))
+        if stage != "train" or not produced:
+            return
+
+
+def run_train(cfg) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .parallel import MeshCfg, make_mesh, replicate, shard_batch
+    from .training.checkpoints import CheckpointManager
+    from .training.train import (
+        TrainState,
+        init_train_state,
+        make_model_train_step,
+        make_optimizer,
+    )
+
+    model = build_model(cfg)
+    n_data = max(1, min(len(jax.devices()), cfg.data_loader.batch_size))
+    mesh = make_mesh(MeshCfg(data_axis=n_data), devices=jax.devices()[:n_data])
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    print(f"mesh: data={n_data} hosts={num_hosts}", flush=True)
+
+    step_holder = {"step": 0}
+    batches = batch_iterator(
+        cfg, "train", host_id, num_hosts, lambda: step_holder["step"]
+    )
+    first = next(batches)
+    images = jnp.asarray(first["context"]["image"])
+    intr = jnp.asarray(first["context"]["intrinsics"])
+    near = jnp.asarray(first["context"]["near"])
+    far = jnp.asarray(first["context"]["far"])
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    print("initializing model...", flush=True)
+    params = jax.jit(model.init)(rng, images, intr, near, far)
+    print("model initialized", flush=True)
+
+    opt = make_optimizer(cfg.optimizer)
+    state = init_train_state(params.trainable, opt)
+    ckpt = CheckpointManager(cfg.checkpointing)
+    ckpt.save_frozen(params.frozen)
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    step_fn = jax.jit(
+        make_model_train_step(
+            model, cfg.loss, opt,
+            tuple(cfg.dataset.image_shape),
+        ),
+        donate_argnums=(0,),
+    )
+
+    state = replicate(mesh, state)
+    frozen = replicate(mesh, params.frozen)
+
+    def to_batch(raw):
+        b = {
+            "context": {
+                k: jnp.asarray(v)
+                for k, v in raw["context"].items()
+                if k != "index"
+            },
+            "target": {"image": jnp.asarray(raw["target"]["image"])},
+        }
+        return shard_batch(mesh, b)
+
+    t0 = time.time()
+    batch = to_batch(first)
+    while int(state.step) < cfg.max_steps:
+        rng, sub = jax.random.split(rng)
+        batch_full = dict(batch, frozen_params=frozen)
+        state, aux = step_fn(state, batch_full, sub)
+        step = int(state.step)
+        step_holder["step"] = step
+        if step % cfg.train.print_log_every_n_steps == 0:
+            np.asarray(aux["loss"])  # sync
+            dt = time.time() - t0
+            t0 = time.time()
+            print(
+                f"step {step}: loss={float(aux['loss']):.5f} "
+                f"psnr={float(aux['psnr']):.2f} "
+                f"mse={float(aux['mse']):.5f} {dt:.2f}s",
+                flush=True,
+            )
+        ckpt.maybe_save(jax.device_get(state))
+        try:
+            batch = to_batch(next(batches))
+        except StopIteration:
+            batches = batch_iterator(
+                cfg, "train", host_id, num_hosts, lambda: step_holder["step"]
+            )
+            batch = to_batch(next(batches))
+    ckpt.wait()
+
+
+def run_test(cfg) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .evaluation.evaluator import EvalCfg, Evaluator
+    from .models.pf3plat import PF3platParams
+    from .training.checkpoints import CheckpointManager
+    from .training.train import init_train_state, make_optimizer
+
+    model = build_model(cfg)
+    batches = batch_iterator(cfg, "test", 0, 1, lambda: 0)
+    first = next(batches)
+    images = jnp.asarray(first["context"]["image"])
+    intr = jnp.asarray(first["context"]["intrinsics"])
+    near = jnp.asarray(first["context"]["near"])
+    far = jnp.asarray(first["context"]["far"])
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = jax.jit(model.init)(rng, images, intr, near, far)
+
+    ckpt = CheckpointManager(cfg.checkpointing)
+    state = ckpt.restore_latest(
+        init_train_state(params.trainable, make_optimizer(cfg.optimizer))
+    )
+    if state is not None:
+        params = PF3platParams(state.params, ckpt.restore_frozen(params.frozen))
+        print(f"loaded checkpoint at step {int(state.step)}")
+
+    evaluator = Evaluator(
+        EvalCfg(
+            output_path=cfg.test.output_path,
+            eval_time_skip_steps=cfg.test.eval_time_skip_steps,
+            save_image=cfg.test.save_image,
+            compute_scores=cfg.test.compute_scores,
+        ),
+        model, params,
+    )
+    idx = 0
+    for raw in [first] + list(batches):
+        rng, sub = jax.random.split(rng)
+        rec = evaluator.run_example(raw, sub, idx)
+        print(f"[{idx}] {rec}", flush=True)
+        idx += 1
+    print(json.dumps(evaluator.finalize(), indent=2))
+
+
+def main(argv=None) -> None:
+    from .utils.config import load_config
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    yaml_path = None
+    if argv and argv[0].endswith((".yaml", ".yml")):
+        yaml_path = Path(argv.pop(0))
+    cfg = load_config(yaml_path, argv)
+
+    if cfg.mode == "train":
+        run_train(cfg)
+    elif cfg.mode == "test":
+        run_test(cfg)
+    else:
+        raise ValueError(f"unknown mode {cfg.mode}")
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,11 @@ class PoseFreeEncoder(nn.Module):
 
         maps = tokens.reshape(b * v, hd, wd, d)
         splits = cfg.multiview_trans_attn_split
+        if hd % splits or wd % splits:
+            # Swin windows need divisible grids; fall back to full attention
+            # (the reference asserts divisibility instead,
+            # `multiview_transformer.py:12`).
+            splits = 1
         if splits > 1:
             pos = position_embedding_sine(hd // splits, wd // splits, d // 2)
             pos = jnp.tile(pos, (splits, splits, 1))

@@ -1,0 +1,66 @@
+"""Checkpoint save/restore via orbax.
+
+Replaces Lightning's `ModelCheckpoint` + wandb artifact resolution
+(`src/main.py:86-99`, `src/misc/wandb_tools.py:42`): the training state
+(trainable params + optimizer state + step) is checkpointed every
+`every_n_steps` with retention of the latest k; the frozen backbone params
+are stored once at step 0 (`frozen/`) since they never change
+(reference freezes them at `model_wrapper.py:131-136`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .train import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class CheckpointCfg:
+    directory: Path = Path("checkpoints")
+    every_n_steps: int = 10_000
+    keep: int = 5
+
+
+class CheckpointManager:
+    def __init__(self, cfg: CheckpointCfg):
+        self.cfg = cfg
+        path = Path(cfg.directory).absolute()
+        path.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            path / "state",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=cfg.keep,
+                save_interval_steps=cfg.every_n_steps,
+            ),
+        )
+        self._frozen_dir = path / "frozen"
+
+    def save_frozen(self, frozen_params: Any) -> None:
+        if not self._frozen_dir.exists():
+            ocp.StandardCheckpointer().save(
+                self._frozen_dir, frozen_params
+            )
+
+    def restore_frozen(self, template: Any) -> Any:
+        return ocp.StandardCheckpointer().restore(
+            self._frozen_dir, target=template
+        )
+
+    def maybe_save(self, state: TrainState) -> bool:
+        step = int(state.step)
+        return self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()

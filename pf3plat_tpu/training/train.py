@@ -154,3 +154,53 @@ def make_train_step(
         return new_state, aux
 
     return train_step
+
+
+def make_model_train_step(
+    model,  # PF3plat
+    loss_cfg: LossCfg,
+    opt: optax.GradientTransformation,
+    image_shape: tuple[int, int],
+    lpips_apply=None,
+):
+    """Full-pipeline train step: frozen perception runs inside the jitted
+    graph (stop-gradient'd), so one `train_step(state, batch, rng)` covers
+    images -> depth/matches -> encoder -> render -> losses -> update.
+
+    `state.params` holds only the trainable encoder params; the frozen
+    params travel in the batch dict (replicated, never updated).
+    """
+
+    def loss_fn(params, batch, rng):
+        from ..models.pf3plat import PF3platParams
+
+        ctx = batch["context"]
+        enc, out = model.forward(
+            PF3platParams(params, batch["frozen_params"]),
+            ctx["image"], ctx["intrinsics"], ctx["near"], ctx["far"],
+            batch["step"], rng,
+        )
+        loss, parts = total_loss(
+            loss_cfg, out.color, batch["target"]["image"], enc,
+            ctx["intrinsics"], batch["step"], lpips_fn=lpips_apply,
+        )
+        aux = dict(parts)
+        aux["psnr"] = -10.0 * jnp.log10(
+            jnp.maximum(
+                jnp.mean((out.color - batch["target"]["image"]) ** 2), 1e-12
+            )
+        )
+        return loss, aux
+
+    def train_step(state: TrainState, batch, rng):
+        batch = dict(batch, step=state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux["loss"] = loss
+        aux["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    return train_step
