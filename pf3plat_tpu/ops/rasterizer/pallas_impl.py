@@ -106,40 +106,51 @@ def _fwd_kernel(
 
     accum[...] = jnp.zeros((channels, p), dtype)
     tcar[...] = jnp.ones((1, p), dtype)
-    tchk_ref[...] = jnp.ones((1, n_chunks, p), dtype)
+    # Zero-init: chunks never processed (early exit / beyond count) leave
+    # T_start = 0, which the backward reads as fully-saturated -> zero grads.
+    tchk_ref[...] = jnp.zeros((1, n_chunks, p), dtype)
 
     count = counts_ref[pl.program_id(0)]
     l_incl = _tri_incl(c, dtype)
 
-    def body(i, _):
-        @pl.when(i * c < count)
-        def _():
-            start = pl.multiple_of(i * c, c)
-            data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
-            alpha, _, _, _, _ = _chunk_alpha(data, px, py, config)
-            color = data[6 : 6 + channels, :]        # (ch, C)
+    def chunk_body(i):
+        start = pl.multiple_of(i * c, c)
+        data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
+        alpha, _, _, _, _ = _chunk_alpha(data, px, py, config)
+        color = data[6 : 6 + channels, :]        # (ch, C)
 
-            tchk_ref[0, i, :] = tcar[0, :]
-            s = jnp.log1p(-alpha)                    # (C, P)
-            incl = jax.lax.dot_general(
-                l_incl, s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            t_after = tcar[...] * jnp.exp(incl)      # (C, P) via broadcast
-            alive = t_after >= config.transmittance_min
-            t_before = tcar[...] * jnp.exp(incl - s)
-            w = jnp.where(alive, t_before * alpha, 0.0)  # (C, P)
-            accum[...] += jax.lax.dot_general(
-                color, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            tcar[...] *= jnp.exp(
-                jnp.sum(jnp.where(alive, s, 0.0), axis=0, keepdims=True)
-            )
+        tchk_ref[0, i, :] = tcar[0, :]
+        s = jnp.log1p(-alpha)                    # (C, P)
+        incl = jax.lax.dot_general(
+            l_incl, s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_after = tcar[...] * jnp.exp(incl)      # (C, P) via broadcast
+        alive = t_after >= config.transmittance_min
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - config.alpha_clamp)
+        t_before = t_after / one_m               # exp(incl - s) without the exp
+        w = jnp.where(alive, t_before * alpha, 0.0)  # (C, P)
+        accum[...] += jax.lax.dot_general(
+            color, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Frozen-at-first-dead transmittance without another exp: the LAST
+        # alive row's t_after — the smallest among the alive prefix
+        # (t_after decreases monotonically along C).
+        any_alive = jnp.any(alive, axis=0, keepdims=True)
+        t_last = jnp.min(
+            jnp.where(alive, t_after, jnp.inf), axis=0, keepdims=True
+        )
+        tcar[...] = jnp.where(any_alive, t_last, tcar[...])
 
-        return ()
+    def cond(i):
+        return (i * c < count) & (jnp.max(tcar[...]) >= config.transmittance_min)
 
-    jax.lax.fori_loop(0, n_chunks, body, ())
+    def body(i):
+        chunk_body(i)
+        return i + 1
+
+    jax.lax.while_loop(lambda i: (i < n_chunks) & cond(i), body, 0)
 
     img_ref[0] = accum[...] + bg_ref[0] * tcar[...]
     tfin_ref[0] = tcar[...]
@@ -204,7 +215,8 @@ def _bwd_kernel(
             )
             t_after = t_start * jnp.exp(incl)
             alive = t_after >= config.transmittance_min
-            t_before = t_start * jnp.exp(incl - s)
+            one_m_t = jnp.maximum(1.0 - alpha, 1.0 - config.alpha_clamp)
+            t_before = t_after / one_m_t
             w = jnp.where(alive, t_before * alpha, 0.0)
 
             # cg[c_i, p] = color_i . g_p

@@ -28,7 +28,11 @@ class RasterizeConfig:
     """
 
     tile_size: int = 16            # pixels per tile side
-    max_tiles_per_gaussian_side: int = 3   # static cap on tile-AABB side
+    # Static cap on the tile-AABB side a gaussian may cover: 2 -> footprints
+    # up to 2x2 tiles (radius <= tile_size px beyond its anchor tile) are
+    # exact; larger gaussians are truncated. Pixel-aligned PF3plat gaussians
+    # sit well under this; raise to 3+ for scenes with very large gaussians.
+    max_tiles_per_gaussian_side: int = 2
     tile_capacity: int = 1024      # max gaussians composited per tile
     chunk: int = 128               # gaussians per compositing step
     near_cull: float = 0.2
