@@ -140,7 +140,7 @@ class TestUniDepth:
         assert out.depth.shape == (1, 56, 56)
         assert out.confidence.shape == (1, 56, 56)
         assert out.features.shape[-1] == 128  # 2 taps x 64
-        assert float(out.depth.min()) >= cfg.min_depth
+        assert float(out.depth.min()) >= cfg.min_depth * 0.999
         assert float(out.depth.max()) <= cfg.max_depth
 
 
