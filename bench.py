@@ -64,7 +64,7 @@ def main() -> None:
 
     cfg = DecoderCfg(
         impl="pallas",
-        raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128),
+        raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128, fused_sort_key=True),
     )
 
     def loss_fn(g):

@@ -143,10 +143,26 @@ def bin_gaussians_batched(
     ).reshape(total_pairs)
 
     # One flat lexicographic sort: (batch*tile, depth) -> per-tile
-    # front-to-back segments.
-    tile_sorted, _, ids_sorted = jax.lax.sort(
-        (tile_key, depth_keys, ids), num_keys=2
-    )
+    # front-to-back segments. Optionally fused into a single int32 key
+    # with quantized depth bits (~2x faster; see RasterizeConfig).
+    if config.fused_sort_key:
+        bits_d = 31 - max(1, (total_tiles - 1)).bit_length() - 1
+        fused = jnp.where(
+            tile_key == _INT32_MAX,
+            _INT32_MAX,
+            (tile_key << bits_d)
+            | jax.lax.shift_right_logical(depth_keys, 31 - bits_d),
+        )
+        fused_sorted, ids_sorted = jax.lax.sort((fused, ids), num_keys=1)
+        tile_sorted = jnp.where(
+            fused_sorted == _INT32_MAX,
+            _INT32_MAX,
+            jax.lax.shift_right_logical(fused_sorted, bits_d),
+        )
+    else:
+        tile_sorted, _, ids_sorted = jax.lax.sort(
+            (tile_key, depth_keys, ids), num_keys=2
+        )
 
     # Segment starts via manual vectorized binary search (jnp.searchsorted
     # lowers very poorly on TPU for batched/2D inputs).

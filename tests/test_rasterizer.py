@@ -155,6 +155,17 @@ class TestTiledVsBruteforce:
             np.asarray(img_t), np.asarray(img_bf), atol=1e-5, rtol=1e-4
         )
 
+    def test_fused_sort_key_matches_exact(self):
+        rng = np.random.default_rng(7)
+        scene = make_scene(rng, n=96, b=2)
+        exact = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=64)
+        fused = RasterizeConfig(
+            tile_size=16, tile_capacity=256, chunk=64, fused_sort_key=True
+        )
+        a = render(**scene, image_shape=(32, 32), impl="tiled", config=exact)
+        b = render(**scene, image_shape=(32, 32), impl="tiled", config=fused)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_images_match_nonsquare(self):
         rng = np.random.default_rng(1)
         scene = make_scene(rng, n=64, b=1)
