@@ -55,9 +55,11 @@ class Block(nn.Module):
         qkv = qkv.reshape(b, n, 3, c.num_heads, d // c.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = (d // c.num_heads) ** -0.5
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, precision="highest")
+        from ..layers import mxu_einsum
+
+        sim = mxu_einsum("bnhd,bmhd->bhnm", q * scale, k)
         attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+        out = mxu_einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
         out = nn.Dense(d, name="attn_proj")(out)
         gamma1 = self.param("ls1_gamma", ls, (d,))
         x = x + gamma1 * out

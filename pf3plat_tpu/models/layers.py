@@ -57,14 +57,83 @@ class LearnableFourierPositionalEncoding(nn.Module):
         return jnp.repeat(emb, 2, axis=-1)
 
 
+def mxu_einsum(spec: str, a: Array, b: Array) -> Array:
+    """bf16-multiply / fp32-accumulate einsum — the TPU-native matmul mode
+    (MXU native input precision is bf16; accumulation stays fp32)."""
+    return jnp.einsum(
+        spec, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+_FLASH_MIN_TOKENS = 2048
+_FLASH_BLOCK = 512
+
+
+def _flash_self_attention(q: Array, k: Array, v: Array) -> Array:
+    """Pallas TPU flash attention with segment-id padding for arbitrary n.
+
+    q/k/v: (b, h, n, d). Pads n up to a block multiple; padded tokens carry a
+    different segment id so they never mix with real tokens.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, n, d = q.shape
+    block = min(_FLASH_BLOCK, n)
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+    scale = d**-0.5
+    qb = jnp.pad(q.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kb = jnp.pad(k.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vb = jnp.pad(v.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    ids = (jnp.arange(n_pad) >= n).astype(jnp.int32)[None]  # pad -> segment 1
+    ids = jnp.broadcast_to(ids, (b, n_pad))
+    bs = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_q_dkv=block, block_k_dkv=block,
+        block_q_dq=block, block_k_dq=block, block_k_major_dq=block,
+    )
+    out = flash_attention(
+        qb, kb, vb, segment_ids=SegmentIds(ids, ids), causal=False,
+        sm_scale=scale, block_sizes=bs,
+    )
+    return out[:, :, :n].astype(q.dtype)
+
+
 def scaled_dot_attention(q: Array, k: Array, v: Array, mask=None) -> Array:
-    """(..., heads, n, d) attention; fp32 accumulation for stability."""
+    """(..., heads, n, d) attention; bf16 MXU inputs, fp32 accumulation.
+
+    Large unmasked self-attention dispatches to the Pallas TPU flash kernel
+    (never materializes the n^2 logits); everything else uses the einsum
+    path, which XLA fuses well at small n.
+    """
+    import os
+
+    n, m = q.shape[-2], k.shape[-2]
+    if (
+        os.environ.get("PF3PLAT_FLASH_ATTENTION") == "1"
+        and mask is None
+        and n == m
+        and n >= _FLASH_MIN_TOKENS
+        and q.ndim == 4
+        and q.shape[-1] % 64 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        # Opt-in: avoids materializing the n^2 logits (0.5 GB/layer at 4k
+        # tokens) but compiles ~10x slower through the remote-compile
+        # tunnel and is only break-even in runtime at PF3plat's shapes.
+        return _flash_self_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
-    sim = jnp.einsum("...id,...jd->...ij", q * scale, k, precision="highest")
+    sim = mxu_einsum("...id,...jd->...ij", q * scale, k)
     if mask is not None:
         sim = jnp.where(mask, sim, -1e30)
     attn = jax.nn.softmax(sim, axis=-1)
-    return jnp.einsum("...ij,...jd->...id", attn, v)
+    return mxu_einsum("...ij,...jd->...id", attn, v)
 
 
 class SelfBlock(nn.Module):
@@ -123,16 +192,15 @@ class CrossBlock(nn.Module):
         qk0, qk1 = split(to_qk(x0)), split(to_qk(x1))
         v0, v1 = split(to_v(x0)), split(to_v(x1))
         scale = head**-0.5
-        sim = jnp.einsum(
-            "...id,...jd->...ij", qk0 * scale**0.5, qk1 * scale**0.5,
-            precision="highest",
+        sim = mxu_einsum(
+            "...id,...jd->...ij", qk0 * scale**0.5, qk1 * scale**0.5
         )
         if mask is not None:
             sim = jnp.where(mask, sim, -1e30)
         attn01 = jax.nn.softmax(sim, axis=-1)
         attn10 = jax.nn.softmax(jnp.swapaxes(sim, -1, -2), axis=-1)
-        m0 = jnp.einsum("...ij,...jd->...id", attn01, v1)
-        m1 = jnp.einsum("...ij,...jd->...id", attn10, v0)
+        m0 = mxu_einsum("...ij,...jd->...id", attn01, v1)
+        m1 = mxu_einsum("...ij,...jd->...id", attn10, v0)
 
         def merge(t):
             return jnp.moveaxis(t, -3, -2).reshape(*t.shape[:-3], t.shape[-2], d)

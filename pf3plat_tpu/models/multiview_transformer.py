@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .layers import mxu_einsum
+
 Array = jax.Array
 
 
@@ -67,8 +69,8 @@ def window_attention(
         qf = q.reshape(b, h * w, c)
         kf = k.reshape(b, h * w, c)
         vf = v.reshape(b, h * w, c)
-        scores = jnp.einsum("bic,bjc->bij", qf, kf, precision="highest") / c**0.5
-        out = jnp.einsum("bij,bjc->bic", jax.nn.softmax(scores, -1), vf)
+        scores = mxu_einsum("bic,bjc->bij", qf, kf) / c**0.5
+        out = mxu_einsum("bij,bjc->bic", jax.nn.softmax(scores, -1), vf)
         return out.reshape(b, h, w, c)
 
     shift_h, shift_w = (h // splits) // 2, (w // splits) // 2
@@ -84,12 +86,12 @@ def window_attention(
     qf = qs.reshape(bw, n, c)
     kf = ks.reshape(bw, n, c)
     vf = vs.reshape(bw, n, c)
-    scores = jnp.einsum("bic,bjc->bij", qf, kf, precision="highest") / c**0.5
+    scores = mxu_einsum("bic,bjc->bij", qf, kf) / c**0.5
     if with_shift:
         mask = jnp.asarray(shifted_window_attn_mask(h, w, splits))
         mask = jnp.tile(mask, (b, 1, 1))
         scores = scores + mask
-    out = jnp.einsum("bij,bjc->bic", jax.nn.softmax(scores, -1), vf)
+    out = mxu_einsum("bij,bjc->bic", jax.nn.softmax(scores, -1), vf)
     out = merge_windows(out.reshape(bw, hw, ww, c), splits)
     if with_shift:
         out = jnp.roll(out, (shift_h, shift_w), axis=(1, 2))

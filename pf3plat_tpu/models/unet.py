@@ -65,11 +65,11 @@ class CrossViewAttention(nn.Module):
         qkv = qkv.reshape(b, v * h * w, 3, heads, head)
         q, k, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = head**-0.5
-        sim = jnp.einsum(
-            "bihd,bjhd->bhij", q * scale, k, precision="highest"
-        )
+        from .layers import mxu_einsum
+
+        sim = mxu_einsum("bihd,bjhd->bhij", q * scale, k)
         attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v_)
+        out = mxu_einsum("bhij,bjhd->bihd", attn, v_)
         out = out.reshape(b, v, h * w, c).transpose(1, 0, 2, 3).reshape(vb, h, w, c)
         out = nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros)(out)
         return x + out

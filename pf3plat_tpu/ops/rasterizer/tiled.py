@@ -25,44 +25,49 @@ from .types import RasterizeConfig, ScreenGaussians
 Array = jax.Array
 
 
-def composite_tiles(
-    screen: ScreenGaussians,
-    binned: BinnedTiles,
-    image_shape: tuple[int, int],
-    background: Array,  # (c,)
-    config: RasterizeConfig,
-) -> Array:
-    """Single-camera compositing over binned tiles -> (h, w, c) image."""
-    h, w = image_shape
-    ts = config.tile_size
-    tiles_x, tiles_y = binned.num_tiles_x, binned.num_tiles_y
-    num_tiles = tiles_x * tiles_y
-    channels = screen.color.shape[-1]
-    cap = config.tile_capacity
-    chunk = config.chunk
-    assert cap % chunk == 0, "tile_capacity must be divisible by chunk"
-
-    # Pack per-gaussian features once; gather per tile (differentiable).
-    feat = jnp.concatenate(
+def pack_features(screen: ScreenGaussians) -> Array:
+    """Per-gaussian feature rows [x, y, conic(3), color(c), opacity]."""
+    return jnp.concatenate(
         [screen.xy, screen.conic, screen.color, screen.opacity[..., None]],
         axis=-1,
-    )  # (n, f)
-    f_dim = feat.shape[-1]
-    safe_idx = jnp.maximum(binned.indices, 0)
-    gathered = feat[safe_idx]  # (tiles, cap, f)
-    slot_valid = binned.indices >= 0
+    )
 
-    # Pixel coordinates for every tile (tiles, p).
+
+def tile_pixel_coords(
+    tiles_x: int, num_tiles: int, ts: int, dtype
+) -> tuple[Array, Array]:
+    """Pixel-center coordinates for each tile: (tiles, ts*ts) px, py."""
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tx = tile_ids % tiles_x
     ty = tile_ids // tiles_x
     local = jnp.arange(ts * ts, dtype=jnp.int32)
     lx = local % ts
     ly = local // ts
-    px = (tx[:, None] * ts + lx[None, :]).astype(feat.dtype) + 0.5
-    py = (ty[:, None] * ts + ly[None, :]).astype(feat.dtype) + 0.5
+    px = (tx[:, None] * ts + lx[None, :]).astype(dtype) + 0.5
+    py = (ty[:, None] * ts + ly[None, :]).astype(dtype) + 0.5
+    return px, py
 
+
+def composite_tables(
+    gathered: Array,    # (tiles, cap, f) gathered features
+    slot_valid: Array,  # (tiles, cap) bool
+    px: Array,          # (tiles, p) pixel x coords
+    py: Array,          # (tiles, p)
+    background: Array,  # (c,)
+    channels: int,
+    config: RasterizeConfig,
+) -> Array:
+    """Scan-composite dense tile tables -> (tiles, p, c).
+
+    Tile-count-agnostic: callers can pass any subset of tiles (this is the
+    unit that `shard_map` distributes for multi-chip tile sharding).
+    """
+    num_tiles, cap, f_dim = gathered.shape
+    chunk = config.chunk
+    assert cap % chunk == 0, "tile_capacity must be divisible by chunk"
     n_chunks = cap // chunk
+    p = px.shape[-1]
+
     chunks = gathered.reshape(num_tiles, n_chunks, chunk, f_dim).transpose(1, 0, 2, 3)
     chunk_valid = slot_valid.reshape(num_tiles, n_chunks, chunk).transpose(1, 0, 2)
 
@@ -78,13 +83,38 @@ def composite_tiles(
         return (t_carry, accum), None
 
     init = (
-        jnp.ones((num_tiles, ts * ts), feat.dtype),
-        jnp.zeros((num_tiles, ts * ts, channels), feat.dtype),
+        jnp.ones((num_tiles, p), gathered.dtype),
+        jnp.zeros((num_tiles, p, channels), gathered.dtype),
     )
     (t_final, accum), _ = jax.lax.scan(
         jax.checkpoint(body), init, (chunks, chunk_valid)
     )
-    out = accum + t_final[..., None] * background[None, None, :]
+    return accum + t_final[..., None] * background[None, None, :]
+
+
+def composite_tiles(
+    screen: ScreenGaussians,
+    binned: BinnedTiles,
+    image_shape: tuple[int, int],
+    background: Array,  # (c,)
+    config: RasterizeConfig,
+) -> Array:
+    """Single-camera compositing over binned tiles -> (h, w, c) image."""
+    h, w = image_shape
+    ts = config.tile_size
+    tiles_x, tiles_y = binned.num_tiles_x, binned.num_tiles_y
+    num_tiles = tiles_x * tiles_y
+    channels = screen.color.shape[-1]
+
+    feat = pack_features(screen)
+    safe_idx = jnp.maximum(binned.indices, 0)
+    gathered = feat[safe_idx]  # (tiles, cap, f)
+    slot_valid = binned.indices >= 0
+    px, py = tile_pixel_coords(tiles_x, num_tiles, ts, feat.dtype)
+
+    out = composite_tables(
+        gathered, slot_valid, px, py, background, channels, config
+    )
 
     # (tiles, p, c) -> (h, w, c), cropping tile padding.
     out = out.reshape(tiles_y, tiles_x, ts, ts, channels)
