@@ -78,7 +78,29 @@ def _get_fov_deg(intrinsics: np.ndarray) -> np.ndarray:
 
 
 def load_chunk(path: Path) -> list[dict]:
-    """Deserialize one `.torch` chunk into numpy dicts."""
+    """Deserialize one chunk into numpy dicts.
+
+    `.pfchunk` files use the native mmap reader (no torch/pickle,
+    `pf3plat_tpu/native/pfchunk.cc`); `.torch` files fall back to
+    torch-pickle deserialization (the reference's container).
+    """
+    if Path(path).suffix == ".pfchunk":
+        from ..native import PfChunkReader
+
+        r = PfChunkReader(Path(path))
+        out = []
+        for s_idx in range(len(r)):
+            out.append({
+                "key": r.key(s_idx),
+                "cameras": np.array(r.cameras(s_idx)),
+                "images": [
+                    np.frombuffer(r.jpeg(s_idx, f), dtype=np.uint8)
+                    for f in range(r.num_frames(s_idx))
+                ],
+            })
+        r.close()
+        return out
+
     import torch
 
     chunk = torch.load(path, map_location="cpu", weights_only=False)
@@ -115,7 +137,8 @@ class ChunkDataset:
         for root in cfg.roots:
             stage_dir = Path(root) / ("test" if stage == "val" else stage)
             if stage_dir.exists():
-                chunks.extend(sorted(stage_dir.glob("*.torch")))
+                native = sorted(stage_dir.glob("*.pfchunk"))
+                chunks.extend(native if native else sorted(stage_dir.glob("*.torch")))
         self.chunks = chunks[host_id::num_hosts]
 
     def __iter__(self) -> Iterator[Example]:
