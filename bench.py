@@ -35,20 +35,23 @@ def main() -> None:
     b, v, h, w = 1, 2, 256, 256
     n = 2 * h * w  # one gaussian per pixel of 2 context views
 
-    means = np.stack(
-        [
-            rng.uniform(-2, 2, (b, n)),
-            rng.uniform(-2, 2, (b, n)),
-            rng.uniform(2.0, 8.0, (b, n)),
-        ],
-        axis=-1,
-    )
-    scales = rng.uniform(0.002, 0.02, (b, n, 3))
+    # Surface-aligned scene (PF3plat's actual workload): pixel-aligned
+    # gaussians on a bumpy opaque surface plus a far background layer —
+    # exercises realistic per-tile occupancy and early termination, unlike
+    # uniform volumetric fog.
+    xs = rng.uniform(-2, 2, (b, n))
+    ys = rng.uniform(-2, 2, (b, n))
+    surf_z = 4.0 + 0.3 * np.sin(3 * xs) * np.cos(2 * ys)
+    far_z = rng.uniform(8.0, 12.0, (b, n))
+    is_far = rng.random((b, n)) < 0.3
+    means = np.stack([xs, ys, np.where(is_far, far_z, surf_z)], axis=-1)
+    scales = rng.uniform(0.004, 0.012, (b, n, 3))
     cov = np.zeros((b, n, 3, 3))
     for i in range(3):
         cov[..., i, i] = scales[..., i] ** 2
     sh = (rng.standard_normal((b, n, 3, 25)) * 0.2).astype(np.float32)
-    opac = rng.uniform(0.2, 0.95, (b, n))
+    opac = np.where(is_far, rng.uniform(0.2, 0.6, (b, n)),
+                    rng.uniform(0.7, 0.99, (b, n)))
 
     to = lambda a: jnp.asarray(a, jnp.float32)
     gauss = Gaussians(to(means), to(cov), to(sh), to(opac))

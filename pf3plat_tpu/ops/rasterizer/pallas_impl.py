@@ -200,7 +200,9 @@ def _bwd_kernel(
     def body(k, _):
         i = n_chunks - 1 - k
 
-        @pl.when(i * c < count)
+        # Skip chunks beyond the tile's count AND chunks the forward never
+        # reached (early exit leaves their T checkpoint at the zero init).
+        @pl.when((i * c < count) & (jnp.max(tchk_ref[0, i, :]) > 0.0))
         def _():
             start = pl.multiple_of(i * c, c)
             data = table_ref[0, :, pl.ds(start, c)]
