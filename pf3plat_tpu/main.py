@@ -102,7 +102,13 @@ def run_train(cfg) -> None:
     opt = make_optimizer(cfg.optimizer)
     state = init_train_state(params.trainable, opt)
     ckpt = CheckpointManager(cfg.checkpointing)
+    had_frozen = ckpt.has_frozen()
     ckpt.save_frozen(params.frozen)
+    if had_frozen:
+        # Resume must reuse the run's frozen perception weights (converted
+        # or first-init), not a fresh re-init — otherwise a resumed run
+        # silently trains against different frozen features.
+        params = params._replace(frozen=ckpt.restore_frozen(params.frozen))
     restored = ckpt.restore_latest(state)
     if restored is not None:
         state = restored
@@ -130,14 +136,31 @@ def run_train(cfg) -> None:
         }
         return shard_batch(mesh, b)
 
+    def next_batch():
+        nonlocal batches
+        try:
+            return to_batch(next(batches))
+        except StopIteration:
+            batches = batch_iterator(
+                cfg, "train", host_id, num_hosts, lambda: step_holder["step"]
+            )
+            return to_batch(next(batches))
+
+    # Host loop with dispatch/compute overlap: the step counter lives on the
+    # host (no per-step device sync), and batch N+1 is decoded while step N
+    # runs on device; device_get happens only on checkpoint steps (the
+    # reference gets the same overlap from multi-worker DataLoaders,
+    # `src/dataset/data_module.py:90-110`).
     t0 = time.time()
     batch = to_batch(first)
-    while int(state.step) < cfg.max_steps:
-        rng, sub = jax.random.split(rng)
+    step = int(state.step)
+    while step < cfg.max_steps:
+        sub = jax.random.fold_in(rng, step)
         batch_full = dict(batch, frozen_params=frozen)
         state, aux = step_fn(state, batch_full, sub)
-        step = int(state.step)
+        step += 1
         step_holder["step"] = step
+        batch = next_batch()  # overlaps with the device step
         if step % cfg.train.print_log_every_n_steps == 0:
             np.asarray(aux["loss"])  # sync
             dt = time.time() - t0
@@ -148,14 +171,8 @@ def run_train(cfg) -> None:
                 f"mse={float(aux['mse']):.5f} {dt:.2f}s",
                 flush=True,
             )
-        ckpt.maybe_save(jax.device_get(state))
-        try:
-            batch = to_batch(next(batches))
-        except StopIteration:
-            batches = batch_iterator(
-                cfg, "train", host_id, num_hosts, lambda: step_holder["step"]
-            )
-            batch = to_batch(next(batches))
+        if step % cfg.checkpointing.every_n_steps == 0 or step >= cfg.max_steps:
+            ckpt.maybe_save(jax.device_get(state))
     ckpt.wait()
 
 
@@ -186,6 +203,13 @@ def run_test(cfg) -> None:
         params = PF3platParams(state.params, ckpt.restore_frozen(params.frozen))
         print(f"loaded checkpoint at step {int(state.step)}")
 
+    lpips_apply = None
+    if "lpips" in params.frozen:
+        lpips_params = params.frozen
+        lpips_apply = jax.jit(
+            lambda a, b: model.lpips_apply(lpips_params, a, b)
+        )
+
     evaluator = Evaluator(
         EvalCfg(
             output_path=cfg.test.output_path,
@@ -193,7 +217,7 @@ def run_test(cfg) -> None:
             save_image=cfg.test.save_image,
             compute_scores=cfg.test.compute_scores,
         ),
-        model, params,
+        model, params, lpips_apply=lpips_apply,
     )
     idx = 0
     for raw in [first] + list(batches):

@@ -134,6 +134,11 @@ class EncoderOutput(NamedTuple):
     depths: Array               # (b, v, h, w) refined metric depth
     xyz: Array                  # (b, v, h, w, 3) camera-space points
     correspondences: Correspondences
+    # Per-pair match confidence (mean match score, non-adjacent pairs
+    # penalized) — the reference's `conf_transformation` returned as corr[2]
+    # (`encoder_costvolume.py:370-374,577`) and consumed by the pose loss's
+    # 3D branch (`loss_pose.py:124`).
+    pair_confidences: Array     # (b, n_pairs)
 
 
 class PoseFreeEncoder(nn.Module):
@@ -460,4 +465,5 @@ class PoseFreeEncoder(nn.Module):
             depths=depth,
             xyz=xyz,
             correspondences=corr,
+            pair_confidences=confs,
         )

@@ -25,6 +25,7 @@ from .backbones.lightglue import LightGlue
 from .backbones.matching import match_context_views
 from .backbones.superpoint import SuperPoint
 from .backbones.unidepth import UniDepth, UniDepthCfg
+from .backbones.vgg_lpips import LPIPS
 from .decoder import DecoderCfg, decode
 from .encoder import (
     Correspondences,
@@ -62,12 +63,15 @@ class PF3plat:
         self.unidepth = UniDepth(cfg.unidepth)
         self.superpoint = SuperPoint(max_num_keypoints=cfg.max_keypoints)
         self.lightglue = LightGlue(n_layers=cfg.lightglue_layers)
+        # LPIPS VGG is frozen like the reference's buffer-converted loss
+        # network (`src/loss/loss_lpips.py:33-34`, `nn_module_tools.py:4-16`).
+        self.lpips = LPIPS()
 
     def init(self, rng: Array, images: Array, intrinsics: Array,
              near: Array, far: Array) -> PF3platParams:
         """Initialize all parameter trees from an example batch."""
         b, v, h, w, _ = images.shape
-        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+        r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
         flat_img = images.reshape(b * v, h, w, 3)
         flat_intr = intrinsics.reshape(b * v, 3, 3)
         ud_params = self.unidepth.init(r1, flat_img, flat_intr)
@@ -79,6 +83,7 @@ class PF3plat:
             "unidepth": ud_params,
             "superpoint": sp_params,
             "lightglue": lg_params,
+            "lpips": self.lpips.init(r6, flat_img[:1], flat_img[:1]),
         }
         frozen_out, corr = self.perceive(frozen, images, intrinsics)
         enc_params = self.encoder.init(
@@ -107,6 +112,13 @@ class PF3plat:
         )
         corr = jax.tree_util.tree_map(jax.lax.stop_gradient, corr)
         return FrozenInputs(depth=depth, features=feats), corr
+
+    def lpips_apply(self, frozen_params, img0: Array, img1: Array) -> Array:
+        """Frozen LPIPS distance (b, h, w, 3) x2 -> (b,); gradient flows to
+        the images, not the VGG weights (reference `loss_lpips.py:44-60`)."""
+        return self.lpips.apply(
+            jax.lax.stop_gradient(frozen_params["lpips"]), img0, img1
+        )
 
     def forward(
         self,

@@ -29,7 +29,8 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x48434650;  // "PFCH" little-endian
-constexpr uint32_t kVersion = 1;
+// v2: 8-byte alignment guarantee for camera and image-index blocks.
+constexpr uint32_t kVersion = 2;
 
 struct Header {
   uint32_t magic;

@@ -21,7 +21,10 @@ from typing import Iterator
 import numpy as np
 
 _MAGIC = 0x48434650
-_VERSION = 1
+# v2: scene key padded to 8-byte alignment so the camera block (72*n bytes)
+# and the image index (u64 pairs) are both 8-aligned — the C++ reader
+# reinterpret_casts those addresses and must never do misaligned u64 reads.
+_VERSION = 2
 _HEADER = struct.Struct("<IIQ")
 _SCENE = struct.Struct("<QQQQQ")
 _IMAGE = struct.Struct("<QQ")
@@ -95,7 +98,7 @@ def write_pfchunk(path: Path, scenes: list[dict]) -> None:
         key_off = offset
         blobs.append(key)
         offset += len(key)
-        pad = (-offset) % 4
+        pad = (-offset) % 8
         blobs.append(b"\0" * pad)
         offset += pad
         cam_off = offset

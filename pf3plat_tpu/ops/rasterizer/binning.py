@@ -172,7 +172,11 @@ def bin_gaussians_batched(
     for _ in range(max(1, int(total_pairs).bit_length())):
         mid = (lo + hi) // 2
         v = tile_sorted[jnp.minimum(mid, total_pairs - 1)]
-        ge = v >= targets
+        # `mid >= total_pairs` counts as >= target: once lo == hi ==
+        # total_pairs (target beyond every key) a further probe must not
+        # push lo past total_pairs, or the last tile double-composites its
+        # deepest gaussian when no padding rows exist.
+        ge = (v >= targets) | (mid >= total_pairs)
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid + 1)
     starts = lo

@@ -41,6 +41,9 @@ class CheckpointManager:
         )
         self._frozen_dir = path / "frozen"
 
+    def has_frozen(self) -> bool:
+        return self._frozen_dir.exists()
+
     def save_frozen(self, frozen_params: Any) -> None:
         if not self._frozen_dir.exists():
             ocp.StandardCheckpointer().save(

@@ -28,12 +28,25 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class LossCfg:
+    """Weights mirror the reference config of record:
+    `config/loss/pose.yaml` (2d 0.005 / 3d 0.025) and
+    `config/experiment/re10k.yaml:31-34` (lpips 0.1 from step 0).
+
+    `pose_weight_rel` supervises the same residuals under the COARSE
+    pairwise poses. The reference computes this branch
+    (`loss_pose.py:57-66,96-125` builds loss_rel_list / loss_rel_2d_list)
+    but its return statement drops it (`loss_pose.py:127-131` sums only the
+    abs lists), so the default here is 0.0 — matching the reference's
+    actual training signal while keeping the branch available.
+    """
+
     mse_weight: float = 1.0
     ssim_weight: float = 0.1
     lpips_weight: float = 0.1
     lpips_apply_after_step: int = 0
-    pose_weight_2d: float = 0.1
-    pose_weight_3d: float = 1.0
+    pose_weight_2d: float = 0.005
+    pose_weight_3d: float = 0.025
+    pose_weight_rel: float = 0.0
 
 
 def _middle(x: Array) -> Array:
@@ -91,7 +104,17 @@ def pose_loss(
     intrinsics: Array,  # (b, v, 3, 3) context intrinsics
     cfg: LossCfg,
 ) -> Array:
-    """Confidence-weighted 3D + 2D correspondence residuals vs refined poses."""
+    """Confidence-weighted 3D + 2D correspondence residuals.
+
+    Mirrors reference `Losspose.forward` (`src/loss/loss_pose.py:28-131`):
+    3D point-alignment residuals are match-score weighted (L1-normalized,
+    `:83,:121`) and multiplied by the per-pair transformation confidence
+    (`:124`); 2D reprojection Huber residuals are summed per pair (`:96-103`).
+    Residuals are evaluated under the refined absolute poses, and — when
+    `pose_weight_rel` > 0 — additionally under the coarse pairwise poses
+    (the reference computes that branch at `:66,:97,:113,:122` but drops it
+    in the return, `:127-131`).
+    """
     b, v = enc.depths.shape[:2]
     h, w = enc.depths.shape[2:]
     pair_i, pair_j = view_pairs(v)
@@ -100,13 +123,16 @@ def pose_loss(
 
     total_3d = 0.0
     total_2d = 0.0
+    total_rel = 0.0
     for p, (i, j) in enumerate(zip(pair_i, pair_j)):
         # relative transform cam_i -> cam_j from refined absolute poses
-        rel = jnp.einsum(
+        rel_abs = jnp.einsum(
             "bij,bjk->bik",
             refined[:, j],
             jnp.linalg.inv(refined[:, i]),
         )
+        rel_coarse = enc.pairwise_poses[:, p]
+        conf_ij = enc.pair_confidences[:, p]  # (b,)
 
         def lookup(view, kpts, arr):
             xi = jnp.clip(kpts[..., 0].astype(jnp.int32), 0, w - 1)
@@ -119,34 +145,49 @@ def pose_loss(
         wgt = jnp.where(corr.valid[:, p], corr.scores[:, p], 0.0)
         wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-8)
 
-        # 3D: |R x_i + t - x_j|, confidence-weighted
-        pred = (
-            jnp.einsum("bij,bmj->bmi", rel[:, :3, :3], xyz_i)
-            + rel[:, None, :3, 3]
-        )
-        diff3d = jnp.linalg.norm(pred - xyz_j + 1e-12, axis=-1)
-        total_3d = total_3d + (wgt * diff3d).sum(-1).mean()
-
-        # 2D: huber on reprojection error in normalized coords
         xy_i = corr.kpts0[:, p] / jnp.asarray([w, h], enc.depths.dtype)
         xy_j = corr.kpts1[:, p] / jnp.asarray([w, h], enc.depths.dtype)
         depth_i = lookup(i, corr.kpts0[:, p], enc.depths[..., None])[..., 0]
-        reproj = project_to_other_image(
-            xy_i, depth_i, intrinsics[:, i], intrinsics[:, j], rel
-        )
-        err = jnp.linalg.norm(reproj - xy_j + 1e-12, axis=-1)
-        delta = 0.01
-        huber = jnp.where(
-            err <= delta, 0.5 * err**2, delta * (err - 0.5 * delta)
-        ) / delta
-        masked = jnp.where(corr.valid[:, p], huber, 0.0)
-        total_2d = total_2d + masked.sum(-1).mean()
+
+        def residuals(rel):
+            # 3D: |R x_i + t - x_j|, match-score weighted
+            pred = (
+                jnp.einsum("bij,bmj->bmi", rel[:, :3, :3], xyz_i)
+                + rel[:, None, :3, 3]
+            )
+            diff3d = jnp.linalg.norm(pred - xyz_j + 1e-12, axis=-1)
+            loss3d = (conf_ij * (wgt * diff3d).sum(-1)).mean()
+
+            # 2D: huber on reprojection error in normalized coords
+            reproj = project_to_other_image(
+                xy_i, depth_i, intrinsics[:, i], intrinsics[:, j], rel
+            )
+            err = jnp.linalg.norm(reproj - xy_j + 1e-12, axis=-1)
+            delta = 0.01
+            huber = jnp.where(
+                err <= delta, 0.5 * err**2, delta * (err - 0.5 * delta)
+            ) / delta
+            masked = jnp.where(corr.valid[:, p], huber, 0.0)
+            loss2d = masked.sum(-1).mean()
+            return loss3d, loss2d
+
+        abs3d, abs2d = residuals(rel_abs)
+        total_3d = total_3d + abs3d
+        total_2d = total_2d + abs2d
+        if cfg.pose_weight_rel > 0.0:
+            rel3d, rel2d = residuals(rel_coarse)
+            total_rel = total_rel + (
+                cfg.pose_weight_3d * rel3d + cfg.pose_weight_2d * rel2d
+            )
 
     n_pairs = len(pair_i)
-    return (
+    total = (
         cfg.pose_weight_3d * total_3d / n_pairs
         + cfg.pose_weight_2d * total_2d / n_pairs
     )
+    if cfg.pose_weight_rel > 0.0:
+        total = total + cfg.pose_weight_rel * total_rel / n_pairs
+    return total
 
 
 def total_loss(

@@ -180,9 +180,22 @@ def make_model_train_step(
             ctx["image"], ctx["intrinsics"], ctx["near"], ctx["far"],
             batch["step"], rng,
         )
+        # LPIPS trains from step `lpips_apply_after_step` with the frozen
+        # VGG carried in the batch's frozen params (reference
+        # `loss_lpips.py:27-60`, weight 0.1 from step 0 per
+        # `config/experiment/re10k.yaml:31-34`).
+        lpips_fn = lpips_apply
+        if (
+            lpips_fn is None
+            and loss_cfg.lpips_weight > 0.0
+            and "lpips" in batch["frozen_params"]
+        ):
+            lpips_fn = lambda a, b: model.lpips_apply(
+                batch["frozen_params"], a, b
+            )
         loss, parts = total_loss(
             loss_cfg, out.color, batch["target"]["image"], enc,
-            ctx["intrinsics"], batch["step"], lpips_fn=lpips_apply,
+            ctx["intrinsics"], batch["step"], lpips_fn=lpips_fn,
         )
         aux = dict(parts)
         aux["psnr"] = -10.0 * jnp.log10(
