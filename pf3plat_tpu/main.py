@@ -21,16 +21,17 @@ import numpy as np
 
 
 def build_model(cfg):
-    from .models.backbones.dinov2 import ViTCfg
     from .models.backbones.unidepth import UniDepthCfg
     from .models.pf3plat import PF3plat, PF3platCfg
 
-    vit = ViTCfg.tiny_test() if cfg.model.tiny_backbones else ViTCfg.vit_large()
+    unidepth = (
+        UniDepthCfg.tiny_test() if cfg.model.tiny_backbones else UniDepthCfg()
+    )
     return PF3plat(
         PF3platCfg(
             encoder=cfg.encoder,
             decoder=cfg.decoder,
-            unidepth=UniDepthCfg(vit=vit),
+            unidepth=unidepth,
             max_keypoints=cfg.model.max_keypoints,
             max_matches=cfg.model.max_matches,
             lightglue_layers=cfg.model.lightglue_layers,

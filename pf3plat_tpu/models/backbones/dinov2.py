@@ -27,8 +27,13 @@ class ViTCfg:
     depth: int = 24
     num_heads: int = 16
     mlp_ratio: float = 4.0
-    layerscale_init: float = 1e-5
+    # UniDepth's DINOv2 uses init_values=1.0 (`dinov2.py:411` in the
+    # vendored `_make_dinov2_model`); converted checkpoints overwrite this.
+    layerscale_init: float = 1.0
     pos_embed_size: int = 37  # 518/14 grid side of the pretrained embedding
+    # apply the final LayerNorm to every tapped layer (vendored
+    # `dinov2.py:327-328` with use_norm=True, UniDepth's configuration)
+    use_norm: bool = True
 
     @staticmethod
     def vit_large() -> "ViTCfg":
@@ -36,7 +41,7 @@ class ViTCfg:
 
     @staticmethod
     def tiny_test() -> "ViTCfg":
-        return ViTCfg(patch_size=14, embed_dim=64, depth=2, num_heads=4,
+        return ViTCfg(patch_size=14, embed_dim=64, depth=4, num_heads=4,
                       pos_embed_size=8)
 
 
@@ -66,20 +71,27 @@ class Block(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(d * c.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU default (erf)
         y = nn.Dense(d, name="mlp_fc2")(y)
         gamma2 = self.param("ls2_gamma", ls, (d,))
         return x + gamma2 * y
 
 
 class DINOv2(nn.Module):
+    """Returns, for each layer index in `out_layers`, the patch tokens as a
+    (b, hp, wp, dim) map and the cls token as (b, 1, dim).
+
+    When `cfg.use_norm` the final LayerNorm is applied to every tapped
+    layer's full token sequence before splitting (vendored
+    `dinov2.py:327-331` with use_norm=True — UniDepth's configuration,
+    where cls taps too are taken post-norm)."""
+
     cfg: ViTCfg
     out_layers: Sequence[int] = (11, 23)
 
     @nn.compact
-    def __call__(self, image: Array) -> list[Array]:
-        """image: (b, h, w, 3), h/w divisible by patch_size.
-        Returns the tapped layers' patch tokens as (b, hp, wp, dim) maps."""
+    def __call__(self, image: Array) -> tuple[list[Array], list[Array]]:
+        """image: (b, h, w, 3), h/w divisible by patch_size."""
         c = self.cfg
         b, h, w, _ = image.shape
         p = c.patch_size
@@ -100,21 +112,33 @@ class DINOv2(nn.Module):
         )
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         if (hp, wp) != (c.pos_embed_size, c.pos_embed_size):
-            # Bicubic interpolation of the grid (reference dinov2.py:273-274).
+            # Bicubic grid interpolation, torch-parity (vendored
+            # `dinov2.py:262-296` with interpolate_offset=0 => size=(hp, wp),
+            # align_corners=False, antialias=False). `interp_matrix`
+            # reproduces torch's kernel exactly; jax.image.resize does not.
+            from .unidepth_layers import interp_matrix
+
             grid = patch_pos.reshape(
                 1, c.pos_embed_size, c.pos_embed_size, c.embed_dim
             )
-            grid = jax.image.resize(
-                grid, (1, hp, wp, c.embed_dim), "cubic"
-            )
+            ah = jnp.asarray(interp_matrix(c.pos_embed_size, hp, "bicubic"))
+            aw = jnp.asarray(interp_matrix(c.pos_embed_size, wp, "bicubic"))
+            grid = jnp.einsum("Hh,bhwc->bHwc", ah, grid)
+            grid = jnp.einsum("Ww,bhwc->bhWc", aw, grid)
             patch_pos = grid.reshape(1, hp * wp, c.embed_dim)
         x = x + patch_pos
         cls_tok = jnp.broadcast_to(cls + cls_pos, (b, 1, c.embed_dim))
         x = jnp.concatenate([cls_tok, x], axis=1)
 
-        taps = []
+        norm = nn.LayerNorm(name="norm") if c.use_norm else (lambda y: y)
+        patch_taps: list[Array] = []
+        cls_taps: list[Array] = []
         for i in range(c.depth):
             x = Block(c, name=f"block_{i}")(x)
             if i in self.out_layers:
-                taps.append(x[:, 1:].reshape(b, hp, wp, c.embed_dim))
-        return taps
+                out = norm(x)
+                cls_taps.append(out[:, :1])
+                patch_taps.append(
+                    out[:, 1:].reshape(b, hp, wp, c.embed_dim)
+                )
+        return patch_taps, cls_taps

@@ -171,7 +171,192 @@ def convert_dinov2(sd: dict, depth: int = 24) -> dict:
                         "bias": np.asarray(sd[f"{p}.mlp.fc2.bias"])},
             "ls2_gamma": np.asarray(sd[f"{p}.ls2.gamma"]),
         }
+    # final LayerNorm, applied per tapped layer when use_norm=True
+    # (vendored `dinov2.py:250,327-331`; UniDepth's configuration)
+    if "norm.weight" in sd:
+        params["norm"] = {"scale": np.asarray(sd["norm.weight"]),
+                          "bias": np.asarray(sd["norm.bias"])}
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# UniDepth-V2 (pixel_encoder = DINOv2 + pixel_decoder; reference
+# `src/model/unidepth/unidepthv2/{unidepthv2,decoder}.py`, `unidepth/layers/`)
+# --------------------------------------------------------------------------
+
+
+def _ln(sd: dict, p: str) -> dict:
+    return {"scale": np.asarray(sd.pop(f"{p}.weight")),
+            "bias": np.asarray(sd.pop(f"{p}.bias"))}
+
+
+def _dense(sd: dict, p: str) -> dict:
+    out = {"kernel": linear_w(np.asarray(sd.pop(f"{p}.weight")))}
+    if f"{p}.bias" in sd:
+        out["bias"] = np.asarray(sd.pop(f"{p}.bias"))
+    return out
+
+
+def _conv(sd: dict, p: str) -> dict:
+    out = {"kernel": conv_w(np.asarray(sd.pop(f"{p}.weight")))}
+    if f"{p}.bias" in sd:
+        out["bias"] = np.asarray(sd.pop(f"{p}.bias"))
+    return out
+
+
+def _ud_mlp(sd: dict, p: str) -> dict:
+    """`layers/mlp.py:MLP` (norm -> proj1 -> GELU -> proj2) -> `MLPF`."""
+    return {"norm": _ln(sd, f"{p}.norm"),
+            "proj1": _dense(sd, f"{p}.proj1"),
+            "proj2": _dense(sd, f"{p}.proj2")}
+
+
+def _ud_attn(sd: dict, p: str) -> dict:
+    """`layers/attention.py:AttentionBlock` (also NystromBlock — the
+    xformers attention_fn is parameter-free) -> `AttentionBlockF`."""
+    return {
+        "norm_attnx": _ln(sd, f"{p}.norm_attnx"),
+        "norm_attnctx": _ln(sd, f"{p}.norm_attnctx"),
+        "kv": _dense(sd, f"{p}.kv"),
+        "q": _dense(sd, f"{p}.q"),
+        "out": _dense(sd, f"{p}.out"),
+        "ls1": np.asarray(sd.pop(f"{p}.ls1.gamma")),
+        "ls2": np.asarray(sd.pop(f"{p}.ls2.gamma")),
+        "mlp": _ud_mlp(sd, f"{p}.mlp"),
+    }
+
+
+def _ud_list_adapter(sd: dict, p: str) -> dict:
+    """`decoder.py:ListAdapter` (input_adapters.{i} = LN -> Linear -> GELU)."""
+    out = {}
+    i = 0
+    while f"{p}.input_adapters.{i}.0.weight" in sd:
+        out[f"ln_{i}"] = _ln(sd, f"{p}.input_adapters.{i}.0")
+        out[f"fc_{i}"] = _dense(sd, f"{p}.input_adapters.{i}.1")
+        i += 1
+    return out
+
+
+def _ud_cvnxt(sd: dict, p: str) -> dict:
+    """`layers/convnext.py:CvnxtBlock` -> `CvnxtBlockF`."""
+    return {
+        "dwconv": _conv(sd, f"{p}.dwconv"),
+        "norm": _ln(sd, f"{p}.norm"),
+        "pwconv1": _dense(sd, f"{p}.pwconv1"),
+        "pwconv2": _dense(sd, f"{p}.pwconv2"),
+        "gamma": np.asarray(sd.pop(f"{p}.gamma")),
+    }
+
+
+def _ud_upsample(sd: dict, p: str) -> dict:
+    """`layers/upsample.py:ConvUpsampleShuffleResidual` ->
+    `ConvUpsampleShuffleResidualF` (up.0 is a parameter-free PixelShuffle)."""
+    out = {}
+    j = 0
+    while f"{p}.convs.{j}.dwconv.weight" in sd:
+        out[f"conv_{j}"] = _ud_cvnxt(sd, f"{p}.convs.{j}")
+        j += 1
+    out["shuf_dw"] = _conv(sd, f"{p}.up.1")
+    out["shuf_pw"] = _conv(sd, f"{p}.up.3")
+    out["res_conv"] = _conv(sd, f"{p}.residual.0")
+    return out
+
+
+def convert_unidepth(sd: dict) -> tuple[dict, dict]:
+    """Full UniDepthV2 state_dict (`pixel_encoder.*` + `pixel_decoder.*`)
+    -> ({"params": {"backbone", "decoder"}}, inferred-config info).
+
+    Maps 100% of the decoder parameters (asserts nothing is left over) and
+    infers hidden_dim / camera_dim / expansion / stage depths / #resolutions
+    from the checkpoint so config-side defaults never have to be trusted.
+    """
+    enc = {k[len("pixel_encoder."):]: v for k, v in sd.items()
+           if k.startswith("pixel_encoder.")}
+    dec = {k[len("pixel_decoder."):]: np.asarray(v) for k, v in sd.items()
+           if k.startswith("pixel_decoder.")}
+
+    depth_vit = 0
+    while f"blocks.{depth_vit}.norm1.weight" in enc:
+        depth_vit += 1
+    backbone = convert_dinov2(enc, depth=depth_vit)["params"]
+
+    r, hidden_dim = np.asarray(dec["level_embeds"]).shape
+    camera_dim = np.asarray(
+        dec["depth_layer.rays_layers.0.weight"]
+    ).shape[1] - 3
+    expansion = (
+        np.asarray(dec["camera_layer.aggregate1.mlp.proj1.weight"]).shape[0]
+        // hidden_dim
+    )
+    depths = []
+    i = 0
+    while f"depth_layer.rays_layers.{i}.weight" in dec:
+        j = 0
+        while f"depth_layer.process_layers.{i}.{j}.q.weight" in dec:
+            j += 1
+        depths.append(j)
+        i += 1
+
+    d = {}  # decoder flax params
+    d["input_adapter"] = _ud_list_adapter(dec, "input_adapter")
+    d["camera_token_adapter"] = _ud_list_adapter(dec, "camera_token_adapter")
+    d["global_token_adapter"] = _ud_list_adapter(dec, "global_token_adapter")
+    d["level_embeds"] = np.asarray(dec.pop("level_embeds"))
+    d["level_fc1"] = _dense(dec, "level_embed_layer.0")
+    d["level_fc2"] = _dense(dec, "level_embed_layer.2")
+    d["level_norm"] = _ln(dec, "level_embed_layer.3")
+
+    cam = {
+        "latents_pos": np.asarray(dec.pop("camera_layer.latents_pos"))
+    }
+    cam["project_cls"] = _ud_mlp(dec, "camera_layer.project_cls")
+    cam["in_features"] = _ud_mlp(dec, "camera_layer.in_features")
+    cam["aggregate1"] = _ud_attn(dec, "camera_layer.aggregate1")
+    cam["aggregate2"] = _ud_attn(dec, "camera_layer.aggregate2")
+    cam["out"] = _ud_mlp(dec, "camera_layer.out")
+    d["camera_layer"] = cam
+
+    glob = {
+        "project_cls": _ud_mlp(dec, "global_layer.project_cls"),
+        "project_rays": _dense(dec, "global_layer.project_rays"),
+        "in_features": _dense(dec, "global_layer.in_features"),
+        "aggregate1": _ud_attn(dec, "global_layer.aggregate1"),
+        "aggregate2": _ud_attn(dec, "global_layer.aggregate2"),
+        "out": _ud_mlp(dec, "global_layer.out"),
+    }
+    d["global_layer"] = glob
+
+    dh = {
+        "features_channel_cat": _dense(dec, "depth_layer.features_channel_cat"),
+        "to_latents": _ud_mlp(dec, "depth_layer.to_latents"),
+        "aggregate_16": _ud_attn(dec, "depth_layer.aggregate_16"),
+        "prompt_camera": _ud_attn(dec, "depth_layer.prompt_camera"),
+        "to_depth": _conv(dec, "depth_layer.to_depth"),
+        "to_confidence": _conv(dec, "depth_layer.to_confidence"),
+    }
+    for i, n_blocks in enumerate(depths):
+        dh[f"rays_{i}"] = _dense(dec, f"depth_layer.rays_layers.{i}")
+        dh[f"up_{i}"] = _ud_upsample(dec, f"depth_layer.ups.{i}")
+        dh[f"depth_mlp_{i}"] = _ud_mlp(dec, f"depth_layer.depth_mlp.{i}")
+        dh[f"conf_mlp_{i}"] = _ud_mlp(dec, f"depth_layer.confidence_mlp.{i}")
+        for j in range(n_blocks):
+            dh[f"process_{i}_{j}"] = _ud_attn(
+                dec, f"depth_layer.process_layers.{i}.{j}"
+            )
+    d["depth_layer"] = dh
+
+    leftover = [k for k in dec if not k.endswith("num_batches_tracked")]
+    assert not leftover, f"unconverted decoder keys: {leftover[:10]}"
+
+    info = {
+        "hidden_dim": int(hidden_dim),
+        "camera_dim": int(camera_dim),
+        "expansion": int(expansion),
+        "depths": tuple(depths),
+        "num_resolutions": int(r),
+        "vit_depth": int(depth_vit),
+    }
+    return {"params": {"backbone": backbone, "decoder": d}}, info
 
 
 _VGG_TORCH_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
@@ -210,6 +395,8 @@ def main():
     ap.add_argument("--superpoint", type=Path)
     ap.add_argument("--lightglue", type=Path)
     ap.add_argument("--dinov2", type=Path)
+    ap.add_argument("--unidepth", type=Path,
+                    help="full UniDepthV2 checkpoint (pixel_encoder+decoder)")
     ap.add_argument("--vgg", type=Path)
     ap.add_argument("--out", type=Path, required=True)
     args = ap.parse_args()
@@ -221,6 +408,7 @@ def main():
         ("superpoint", args.superpoint, convert_superpoint),
         ("lightglue", args.lightglue, convert_lightglue),
         ("dinov2", args.dinov2, convert_dinov2),
+        ("unidepth", args.unidepth, lambda sd: convert_unidepth(sd)[0]),
         ("lpips_vgg", args.vgg, convert_lpips_vgg),
     ]
     for name, path, fn in jobs:

@@ -116,22 +116,23 @@ class TestDINOv2:
         m = DINOv2(cfg, out_layers=(0, 1))
         x = jnp.ones((1, 28, 28, 3))
         params = m.init(jax.random.PRNGKey(0), x)
-        taps = m.apply(params, x)
-        assert len(taps) == 2
+        taps, cls = m.apply(params, x)
+        assert len(taps) == 2 and len(cls) == 2
         assert taps[0].shape == (1, 2, 2, 64)
+        assert cls[0].shape == (1, 1, 64)
 
     def test_pos_embed_interpolation(self):
         cfg = ViTCfg.tiny_test()  # pos_embed_size 8 vs 2x2 grid
         m = DINOv2(cfg, out_layers=(1,))
         x = jnp.ones((1, 56, 56, 3))  # 4x4 grid != 8x8 embedding
         params = m.init(jax.random.PRNGKey(0), x)
-        taps = m.apply(params, x)
+        taps, _ = m.apply(params, x)
         assert taps[0].shape == (1, 4, 4, 64)
 
 
 class TestUniDepth:
     def test_interface(self):
-        cfg = UniDepthCfg(vit=ViTCfg.tiny_test())
+        cfg = UniDepthCfg.tiny_test()
         m = UniDepth(cfg)
         img = jnp.ones((1, 56, 56, 3)) * 0.5
         intr = jnp.asarray([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]])
@@ -140,8 +141,11 @@ class TestUniDepth:
         assert out.depth.shape == (1, 56, 56)
         assert out.confidence.shape == (1, 56, 56)
         assert out.features.shape[-1] == 128  # 2 taps x 64
-        assert float(out.depth.min()) >= cfg.min_depth * 0.999
-        assert float(out.depth.max()) <= cfg.max_depth
+        assert bool(jnp.all(out.depth > 0))
+        assert bool(jnp.all(jnp.isfinite(out.depth)))
+        # predicted-intrinsics path
+        out2 = m.apply(params, img, None)
+        assert out2.intrinsics.shape == (1, 3, 3)
 
 
 class TestLPIPS:

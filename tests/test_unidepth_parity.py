@@ -1,0 +1,745 @@
+"""Torch-activation parity for the UniDepth-V2 verbatim port.
+
+Each test builds a torch-side module whose *state-dict layout and numerics*
+replicate the reference's vendored UniDepth
+(`/root/reference/src/model/unidepth/{unidepthv2/decoder.py,layers/*}.py`,
+`backbones/dinov2.py`) using plain torch.nn (no xformers/timm), random-
+initializes it, converts the state_dict with `weight_convert`, and checks
+the Flax port produces the same activations.
+
+This is the "done" gate for the decoder port: the converter must consume
+100% of the decoder state_dict, and every head (Camera/Global/Depth) must
+match torch bit-closely on random weights — so loading the released
+checkpoint can only differ by the checkpoint values themselves.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+tnn = torch.nn
+tF = torch.nn.functional
+
+from pf3plat_tpu.models.backbones import weight_convert as wc
+from pf3plat_tpu.models.backbones.unidepth_layers import (
+    AttentionBlockF,
+    ConvUpsampleShuffleResidualF,
+    MLPF,
+    NystromBlockF,
+    resize_image,
+)
+
+torch.manual_seed(0)
+
+
+def t2n(x):
+    return x.detach().numpy()
+
+
+def sd_np(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# torch-side layer replicas (reference layouts; independent implementations)
+# ---------------------------------------------------------------------------
+
+
+class TLS(tnn.Module):  # LayerScale: holds `gamma`
+    def __init__(self, dim):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.randn(dim) * 0.2 + 1.0)
+
+    def forward(self, x):
+        return x * self.gamma
+
+
+class TMLP(tnn.Module):  # layers/mlp.py:MLP
+    def __init__(self, dim, expansion=4, output_dim=None):
+        super().__init__()
+        self.norm = tnn.LayerNorm(dim)
+        self.proj1 = tnn.Linear(dim, int(dim * expansion))
+        self.proj2 = tnn.Linear(int(dim * expansion), output_dim or dim)
+
+    def forward(self, x):
+        return self.proj2(tF.gelu(self.proj1(self.norm(x))))
+
+
+class TAttn(tnn.Module):
+    """layers/attention.py:AttentionBlock.  nystrom=True reproduces
+    NystromBlock's effective behavior: xformers' NystromAttention receives
+    (b, n, h, d) whose sequence axis (-2) is the heads axis, and with
+    h < 128 landmarks it falls back to dense attention over that axis."""
+
+    def __init__(self, dim, heads=1, expansion=4, context_dim=None,
+                 nystrom=False):
+        super().__init__()
+        cd = context_dim or dim
+        self.heads, self.dim, self.nystrom = heads, dim, nystrom
+        self.kv = tnn.Linear(cd, 2 * dim)
+        self.q = tnn.Linear(dim, dim)
+        self.norm_attnx = tnn.LayerNorm(dim)
+        self.norm_attnctx = tnn.LayerNorm(cd)
+        self.out = tnn.Linear(dim, dim)
+        self.ls1 = TLS(dim)
+        self.ls2 = TLS(dim)
+        self.mlp = TMLP(dim, expansion)
+
+    def forward(self, x, context=None, pos_embed=None, pos_embed_context=None):
+        h, d = self.heads, self.dim
+        ctx = x if context is None else context
+        y = self.norm_attnx(x)
+        c = self.norm_attnctx(ctx)
+        b, n, _ = c.shape
+        kv = self.kv(c).reshape(b, n, 2, h, d // h)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        q = self.q(y).reshape(b, y.shape[1], h, d // h)
+        if pos_embed is not None:
+            q = q + pos_embed.reshape(b, y.shape[1], h, d // h)
+        if pos_embed_context is not None:
+            k = k + pos_embed_context.reshape(b, n, h, d // h)
+        if self.nystrom:
+            o = tF.scaled_dot_product_attention(q, k, v)  # seq axis = heads
+        else:
+            o = tF.scaled_dot_product_attention(
+                q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2)
+            ).transpose(1, 2)
+        o = self.out(o.reshape(b, y.shape[1], d))
+        x = x + self.ls1(o)
+        return x + self.ls2(self.mlp(x))
+
+
+class TCvnxt(tnn.Module):  # layers/convnext.py:CvnxtBlock
+    def __init__(self, dim, ks=7, expansion=4):
+        super().__init__()
+        self.dwconv = tnn.Conv2d(dim, dim, ks, padding=ks // 2, groups=dim)
+        self.norm = tnn.LayerNorm(dim)
+        self.pwconv1 = tnn.Linear(dim, expansion * dim)
+        self.pwconv2 = tnn.Linear(expansion * dim, dim)
+        self.gamma = tnn.Parameter(torch.randn(dim) * 0.2 + 1.0)
+
+    def forward(self, x):  # NCHW
+        y = self.dwconv(x).permute(0, 2, 3, 1)
+        y = self.pwconv2(tF.gelu(self.pwconv1(self.norm(y)))) * self.gamma
+        return x + y.permute(0, 3, 1, 2)
+
+
+class TUp(tnn.Module):  # layers/upsample.py:ConvUpsampleShuffleResidual
+    def __init__(self, dim, expansion=4, ks=7, num_layers=2):
+        super().__init__()
+        self.convs = tnn.ModuleList(
+            [TCvnxt(dim, ks, expansion) for _ in range(num_layers)]
+        )
+        self.up = tnn.Sequential(
+            tnn.PixelShuffle(2),
+            tnn.Conv2d(dim // 4, dim // 4, 7, padding=3, groups=dim // 4),
+            tnn.ReLU(),
+            tnn.Conv2d(dim // 4, dim // 2, 3, padding=1),
+        )
+        self.residual = tnn.Sequential(
+            tnn.Conv2d(dim, dim // 2, 1),
+            tnn.UpsamplingBilinear2d(scale_factor=2),
+        )
+
+    def forward(self, x):  # NCHW -> (b, 4hw, c/2)
+        for conv in self.convs:
+            x = conv(x)
+        y = self.up(x) + self.residual(x)
+        return y.flatten(2).transpose(1, 2)
+
+
+class TListAdapter(tnn.Module):  # decoder.py:ListAdapter
+    def __init__(self, dims, hidden):
+        super().__init__()
+        self.input_adapters = tnn.ModuleList(
+            [
+                tnn.Sequential(tnn.LayerNorm(d), tnn.Linear(d, hidden),
+                               tnn.GELU())
+                for d in dims
+            ]
+        )
+
+    def forward(self, xs):
+        return [a(x) for a, x in zip(self.input_adapters, xs)]
+
+
+def t_fourier(x, dim, max_freq):  # use_log=True, cat_orig=True
+    nb = dim // x.shape[-1]
+    scales = 2.0 ** torch.linspace(0.0, math.log2(max_freq), nb)
+    ang = x.unsqueeze(-1) * scales * math.pi
+    return torch.cat([ang.sin().flatten(-2), x], dim=-1)
+
+
+def t_flat_interp(x, old, new, antialias=True):
+    if tuple(old) == tuple(new):
+        return x
+    b = x.shape[0]
+    img = x.view(b, old[0], old[1], -1).permute(0, 3, 1, 2)
+    img = tF.interpolate(img, size=tuple(new), mode="bilinear",
+                         align_corners=False, antialias=antialias)
+    return img.flatten(2).transpose(1, 2)
+
+
+def t_embed_rays(rays, original_shapes, shapes, camera_dim):
+    r = t_flat_interp(rays, original_shapes, shapes)
+    r = tF.normalize(r, dim=-1)
+    return t_fourier(r, camera_dim, max(shapes) // 2)
+
+
+def t_generate_rays(K, image_shape):
+    h, w = image_shape
+    ys = torch.arange(h, dtype=torch.float32) + 0.5
+    xs = torch.arange(w, dtype=torch.float32) + 0.5
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    px = gx.reshape(-1)[None]
+    py = gy.reshape(-1)[None]
+    dx = (px - K[:, 0, 2:3]) / K[:, 0, 0:1]
+    dy = (py - K[:, 1, 2:3]) / K[:, 1, 1:2]
+    d = torch.stack([dx, dy, torch.ones_like(dx)], dim=-1)
+    return tF.normalize(d, dim=-1)
+
+
+def t_pos_embed_sine(b, h, w, num_pos_feats):
+    ones = torch.ones(b, h, w)
+    y = ones.cumsum(1)
+    x = ones.cumsum(2)
+    y = y / (y[:, -1:, :] + 1e-6) * 2 * math.pi
+    x = x / (x[:, :, -1:] + 1e-6) * 2 * math.pi
+    dim_t = torch.arange(num_pos_feats, dtype=torch.float32)
+    dim_t = 10000.0 ** (
+        2 * torch.div(dim_t, 2, rounding_mode="floor") / num_pos_feats
+    )
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = torch.stack([px[..., 0::2].sin(), px[..., 1::2].cos()], -1).flatten(-2)
+    py = torch.stack([py[..., 0::2].sin(), py[..., 1::2].cos()], -1).flatten(-2)
+    return torch.cat([py, px], -1).flatten(1, 2)
+
+
+class TCameraHead(tnn.Module):  # decoder.py:CameraHead
+    def __init__(self, d, expansion=4):
+        super().__init__()
+        self.aggregate1 = TAttn(d, 1, expansion)
+        self.aggregate2 = TAttn(d, 1, expansion)
+        self.latents_pos = tnn.Parameter(torch.randn(1, 4, d))
+        self.in_features = TMLP(d, 2)
+        self.project_cls = TMLP(d, 4)
+        self.out = TMLP(d, 2, output_dim=1)
+
+    def forward(self, feats, cls_tokens, pos_embed):
+        cls_tokens = self.project_cls(cls_tokens)
+        lp = self.latents_pos.expand(cls_tokens.shape[0], -1, -1)
+        f = self.in_features(torch.cat(feats, 1) + pos_embed)
+        ctx = torch.cat([f, cls_tokens], 1)
+        x = self.aggregate1(cls_tokens, context=ctx, pos_embed=lp)
+        x = self.aggregate2(x, context=ctx, pos_embed=lp)
+        x = self.out(x).squeeze(-1)
+        K = torch.zeros(x.shape[0], 3, 3)
+        K[:, 0, 0] = x[:, 0].exp()
+        K[:, 1, 1] = x[:, 1].exp()
+        K[:, 0, 2] = x[:, 2].sigmoid()
+        K[:, 1, 2] = x[:, 3].sigmoid()
+        K[:, 2, 2] = 1.0
+        return K
+
+
+class TGlobalHead(tnn.Module):  # decoder.py:GlobalHead
+    def __init__(self, d, camera_dim, expansion=4):
+        super().__init__()
+        self.camera_dim = camera_dim
+        self.in_features = tnn.Linear(d, d)
+        self.project_rays = tnn.Linear(camera_dim + 3, d)
+        self.aggregate1 = TAttn(d, 1, expansion)
+        self.aggregate2 = TAttn(d, 1, expansion)
+        self.project_cls = TMLP(d, 4)
+        self.out = TMLP(d, 2, output_dim=1)
+
+    def forward(self, feats, cls_tokens, rays, original_shapes, shapes):
+        cls_tokens = self.project_cls(cls_tokens)
+        emb = self.project_rays(
+            t_embed_rays(rays, original_shapes, shapes, self.camera_dim)
+        )
+        emb = emb.repeat(1, len(feats), 1)
+        f = self.in_features(torch.cat(feats, 1) + emb)
+        ctx = torch.cat([f, cls_tokens], 1)
+        x = self.aggregate1(cls_tokens, context=ctx)
+        x = self.aggregate2(x, context=ctx)
+        x = self.out(x).squeeze(-1)
+        return x[:, 0].exp().reshape(-1, 1, 1), x[:, 1].reshape(-1, 1, 1)
+
+
+class TDepthHead(tnn.Module):  # decoder.py:DepthHead
+    def __init__(self, d, heads, expansion, depths, camera_dim, num_res):
+        super().__init__()
+        self.camera_dim = camera_dim
+        self.to_latents = TMLP(d, 2)
+        self.features_channel_cat = tnn.Linear(d * num_res, d)
+        self.aggregate_16 = TAttn(d, 1, expansion, context_dim=d)
+        self.prompt_camera = TAttn(d, 1, expansion, context_dim=d)
+        self.process_layers = tnn.ModuleList()
+        self.rays_layers = tnn.ModuleList()
+        self.ups = tnn.ModuleList()
+        self.depth_mlp = tnn.ModuleList()
+        self.confidence_mlp = tnn.ModuleList()
+        for i, nb in enumerate(depths):
+            di = d // 2**i
+            self.process_layers.append(
+                tnn.ModuleList(
+                    [
+                        TAttn(di, max(heads // 2**i, 1), expansion,
+                              nystrom=True)
+                        for _ in range(nb)
+                    ]
+                )
+            )
+            self.rays_layers.append(tnn.Linear(camera_dim + 3, di))
+            self.ups.append(TUp(di, expansion))
+            self.depth_mlp.append(TMLP(di // 2, 1, output_dim=16))
+            self.confidence_mlp.append(TMLP(di // 2, 1, output_dim=16))
+        self.to_depth = tnn.Conv2d(16 * len(depths), 1, 7, padding=3,
+                                   padding_mode="reflect")
+        self.to_confidence = tnn.Conv2d(16 * len(depths), 1, 7, padding=3,
+                                        padding_mode="reflect")
+
+    def forward(self, feats, rays_hr, pos_embed, level_embed,
+                original_shapes, shapes):
+        b = feats[0].shape[0]
+        embs = [
+            layer(
+                t_embed_rays(
+                    rays_hr, original_shapes,
+                    (shapes[0] * 2**i, shapes[1] * 2**i), self.camera_dim
+                )
+            )
+            for i, layer in enumerate(self.rays_layers)
+        ]
+        f16 = self.features_channel_cat(torch.cat(feats, dim=-1))
+        latents = f16 + self.to_latents(f16)
+        latents = self.aggregate_16(
+            latents, context=torch.cat(feats, 1),
+            pos_embed_context=pos_embed + level_embed,
+        )
+        latents = self.prompt_camera(latents, context=embs[0])
+        outs = []
+        for i, (up, layers, emb) in enumerate(
+            zip(self.ups, self.process_layers, embs)
+        ):
+            for layer in layers:
+                latents = layer(latents, pos_embed=emb)
+            sh = (shapes[0] * 2**i, shapes[1] * 2**i)
+            img = (latents + emb).transpose(1, 2).reshape(b, -1, *sh)
+            latents = up(img)
+            outs.append(
+                latents.reshape(b, sh[0] * 2, sh[1] * 2, -1)
+            )
+
+        def fuse(mlps, conv):
+            taps = [
+                tF.interpolate(
+                    mlp(o).permute(0, 3, 1, 2), size=original_shapes,
+                    mode="bilinear",
+                )
+                for mlp, o in zip(mlps[::-1], outs[::-1])
+            ]
+            return conv(torch.cat(taps, 1))
+
+        logdepth = fuse(list(self.depth_mlp), self.to_depth)
+        conf = torch.sigmoid(fuse(list(self.confidence_mlp),
+                                  self.to_confidence))
+        return logdepth[:, 0], conf[:, 0]
+
+
+class TDecoder(tnn.Module):  # decoder.py:Decoder (ViT path)
+    def __init__(self, e, d, heads, expansion, depths, camera_dim, num_res):
+        super().__init__()
+        self.hidden = d
+        self.num_res = num_res
+        self.camera_layer = TCameraHead(d, expansion)
+        self.global_layer = TGlobalHead(d, camera_dim, expansion)
+        self.input_adapter = TListAdapter((e,) * num_res, d)
+        self.camera_token_adapter = TListAdapter((e,) * 4, d)
+        self.global_token_adapter = TListAdapter((e,) * 2, d)
+        self.depth_layer = TDepthHead(d, heads, expansion, depths,
+                                      camera_dim, num_res)
+        self.level_embeds = tnn.Parameter(torch.randn(num_res, d))
+        self.level_embed_layer = tnn.Sequential(
+            tnn.Linear(d, d), tnn.GELU(), tnn.Linear(d, d), tnn.LayerNorm(d)
+        )
+
+    def forward(self, feats, camera_tokens, global_tokens, image_shape,
+                shapes):
+        H, W = image_shape
+        hp, wp = shapes
+        d, r = self.hidden, self.num_res
+        feats = self.input_adapter(feats)
+        b, n = feats[0].shape[0], hp * wp
+        le = self.level_embed_layer(self.level_embeds)
+        level_embed = torch.cat(
+            [le[i : i + 1].unsqueeze(0).repeat(b, n, 1) for i in range(r)], 1
+        )
+        pos = t_pos_embed_sine(b, hp, wp, d // 2).repeat(1, r, 1)
+        cam_tok = torch.cat(self.camera_token_adapter(camera_tokens), 1)
+        K = self.camera_layer(feats, cam_tok, pos + level_embed)
+        Kpx = K.clone()
+        Kpx[:, 0, 0] *= max(H, W) / 2
+        Kpx[:, 1, 1] *= max(H, W) / 2
+        Kpx[:, 0, 2] *= W
+        Kpx[:, 1, 2] *= H
+        rays = t_generate_rays(Kpx, (H, W))
+        glob_tok = torch.cat(self.global_token_adapter(global_tokens), 1)
+        scale, shift = self.global_layer(
+            feats, glob_tok, rays, (H, W), shapes
+        )
+        logdepth, conf = self.depth_layer(
+            feats, rays, pos, level_embed, (H, W), shapes
+        )
+        mean = logdepth.mean(dim=(1, 2), keepdim=True)
+        var = logdepth.var(dim=(1, 2), unbiased=False, keepdim=True)
+        dn = ((logdepth - mean) / (var + 1e-5).sqrt()).exp()
+        depth = tF.softplus((dn + shift) * scale, beta=10.0)
+        return depth, conf, Kpx
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+class TestResizeParity:
+    @pytest.mark.parametrize(
+        "mode,antialias,align,old,new",
+        [
+            ("bilinear", False, False, (9, 13), (17, 23)),
+            ("bilinear", True, False, (24, 20), (7, 9)),
+            ("bilinear", False, True, (8, 8), (16, 16)),
+            ("bicubic", False, False, (8, 8), (13, 13)),
+            ("bicubic", True, False, (25, 25), (9, 9)),
+        ],
+    )
+    def test_matches_torch(self, mode, antialias, align, old, new):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, *old, 3)).astype(np.float32)
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        kwargs = dict(mode=mode, antialias=antialias)
+        if align:
+            kwargs["align_corners"] = True
+        ty = tF.interpolate(tx, size=new, **kwargs).permute(0, 2, 3, 1)
+        jy = resize_image(jnp.asarray(x), new, mode, align, antialias)
+        np.testing.assert_allclose(np.asarray(jy), t2n(ty), atol=2e-5)
+
+
+class TestLayerParity:
+    def test_mlp(self):
+        m = TMLP(32, 2, output_dim=16)
+        x = np.random.default_rng(1).normal(size=(2, 5, 32)).astype(np.float32)
+        with torch.no_grad():
+            ty = m(torch.from_numpy(x))
+        sd = {f"m.{k}": v for k, v in sd_np(m).items()}
+        params = wc._ud_mlp(sd, "m")
+        jy = MLPF(32, 2, output_dim=16).apply(
+            {"params": params}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(jy), t2n(ty), atol=2e-5)
+
+    def test_attention_block(self):
+        d, h, cd = 32, 4, 24
+        m = TAttn(d, h, 2, context_dim=cd)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 6, d)).astype(np.float32)
+        ctx = rng.normal(size=(2, 9, cd)).astype(np.float32)
+        pe = rng.normal(size=(2, 6, d)).astype(np.float32)
+        pec = rng.normal(size=(2, 9, d)).astype(np.float32)
+        with torch.no_grad():
+            ty = m(torch.from_numpy(x), context=torch.from_numpy(ctx),
+                   pos_embed=torch.from_numpy(pe),
+                   pos_embed_context=torch.from_numpy(pec))
+        sd = {f"m.{k}": v for k, v in sd_np(m).items()}
+        params = wc._ud_attn(sd, "m")
+        jy = AttentionBlockF(d, h, 2, context_dim=cd).apply(
+            {"params": params}, jnp.asarray(x), context=jnp.asarray(ctx),
+            pos_embed=jnp.asarray(pe), pos_embed_context=jnp.asarray(pec),
+        )
+        np.testing.assert_allclose(np.asarray(jy), t2n(ty), atol=2e-5)
+
+    def test_nystrom_heads_axis(self):
+        d, h = 32, 4
+        m = TAttn(d, h, 2, nystrom=True)
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 10, d)).astype(np.float32)
+        pe = rng.normal(size=(2, 10, d)).astype(np.float32)
+        with torch.no_grad():
+            ty = m(torch.from_numpy(x), pos_embed=torch.from_numpy(pe))
+        sd = {f"m.{k}": v for k, v in sd_np(m).items()}
+        params = wc._ud_attn(sd, "m")
+        jy = NystromBlockF(d, h, 2).apply(
+            {"params": params}, jnp.asarray(x), pos_embed=jnp.asarray(pe)
+        )
+        np.testing.assert_allclose(np.asarray(jy), t2n(ty), atol=2e-5)
+
+    def test_conv_upsample(self):
+        d = 16
+        m = TUp(d, expansion=2)
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(2, 6, 5, d)).astype(np.float32)  # NHWC
+        with torch.no_grad():
+            ty = m(torch.from_numpy(x).permute(0, 3, 1, 2))
+        sd = {f"m.{k}": v for k, v in sd_np(m).items()}
+        params = wc._ud_upsample(sd, "m")
+        jy = ConvUpsampleShuffleResidualF(d, expansion=2).apply(
+            {"params": params}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(jy), t2n(ty), atol=1e-4)
+
+
+class TestDecoderParity:
+    E, D, HEADS, EXP, CAM = 48, 32, 4, 2, 12
+    DEPTHS = (1, 1)
+    R = 2
+    SHAPES = (4, 4)
+    IMG = (32, 32)
+
+    def _build(self):
+        m = TDecoder(self.E, self.D, self.HEADS, self.EXP, self.DEPTHS,
+                     self.CAM, self.R)
+        rng = np.random.default_rng(5)
+        b, n = 2, self.SHAPES[0] * self.SHAPES[1]
+        feats = [rng.normal(size=(b, n, self.E)).astype(np.float32) * 0.5
+                 for _ in range(self.R)]
+        cam = [rng.normal(size=(b, 1, self.E)).astype(np.float32)
+               for _ in range(4)]
+        glo = [rng.normal(size=(b, 1, self.E)).astype(np.float32)
+               for _ in range(2)]
+        return m, feats, cam, glo
+
+    def test_full_decoder(self):
+        from pf3plat_tpu.models.backbones.unidepth import (
+            DecoderF, UniDepthCfg,
+        )
+        from pf3plat_tpu.models.backbones.dinov2 import ViTCfg
+
+        m, feats, cam, glo = self._build()
+        with torch.no_grad():
+            td, tc, tk = m(
+                [torch.from_numpy(f) for f in feats],
+                [torch.from_numpy(c) for c in cam],
+                [torch.from_numpy(g) for g in glo],
+                self.IMG, self.SHAPES,
+            )
+
+        sd = {f"pixel_decoder.{k}": v for k, v in sd_np(m).items()}
+        # dummy tiny encoder so convert_unidepth can run end-to-end
+        vit = _tiny_vit_sd(self.E)
+        sd.update({f"pixel_encoder.{k}": v for k, v in vit.items()})
+        converted, info = wc.convert_unidepth(sd)
+        assert info["hidden_dim"] == self.D
+        assert info["camera_dim"] == self.CAM
+        assert info["expansion"] == self.EXP
+        assert info["depths"] == self.DEPTHS
+        assert info["num_resolutions"] == self.R
+
+        cfg = UniDepthCfg(
+            vit=ViTCfg(embed_dim=self.E, depth=2, num_heads=4,
+                       pos_embed_size=4),
+            hidden_dim=self.D, num_heads=self.HEADS, expansion=self.EXP,
+            camera_dim=self.CAM, depths=self.DEPTHS, output_idx=(1, 2),
+        )
+        out = DecoderF(cfg).apply(
+            {"params": converted["params"]["decoder"]},
+            [jnp.asarray(f) for f in feats],
+            [jnp.asarray(c) for c in cam],
+            [jnp.asarray(g) for g in glo],
+            self.IMG, self.SHAPES, None,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["K_px"]), t2n(tk), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["confidence"]), t2n(tc), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), t2n(td), rtol=2e-3, atol=2e-4
+        )
+
+
+def _tiny_vit_sd(e, depth=2, pos=4):
+    """Shape-correct DINOv2 state_dict (random) for converter tests."""
+    rng = np.random.default_rng(9)
+    f32 = lambda *s: rng.normal(size=s).astype(np.float32) * 0.05
+    sd = {
+        "patch_embed.proj.weight": f32(e, 3, 14, 14),
+        "patch_embed.proj.bias": f32(e),
+        "cls_token": f32(1, 1, e),
+        "pos_embed": f32(1, pos * pos + 1, e),
+        "norm.weight": np.ones(e, np.float32),
+        "norm.bias": np.zeros(e, np.float32),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        sd.update({
+            f"{p}.norm1.weight": np.ones(e, np.float32),
+            f"{p}.norm1.bias": np.zeros(e, np.float32),
+            f"{p}.attn.qkv.weight": f32(3 * e, e),
+            f"{p}.attn.qkv.bias": f32(3 * e),
+            f"{p}.attn.proj.weight": f32(e, e),
+            f"{p}.attn.proj.bias": f32(e),
+            f"{p}.ls1.gamma": np.ones(e, np.float32),
+            f"{p}.norm2.weight": np.ones(e, np.float32),
+            f"{p}.norm2.bias": np.zeros(e, np.float32),
+            f"{p}.mlp.fc1.weight": f32(4 * e, e),
+            f"{p}.mlp.fc1.bias": f32(4 * e),
+            f"{p}.mlp.fc2.weight": f32(e, 4 * e),
+            f"{p}.mlp.fc2.bias": f32(e),
+            f"{p}.ls2.gamma": np.ones(e, np.float32),
+        })
+    return sd
+
+
+class TVitBlock(tnn.Module):
+    """DINOv2 block (vendored `backbones/metadinov2`-style layout)."""
+
+    def __init__(self, e, heads):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = tnn.LayerNorm(e, eps=1e-6)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(e, 3 * e)
+        self.attn.proj = tnn.Linear(e, e)
+        self.ls1 = TLS(e)
+        self.norm2 = tnn.LayerNorm(e, eps=1e-6)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(e, 4 * e)
+        self.mlp.fc2 = tnn.Linear(4 * e, e)
+        self.ls2 = TLS(e)
+
+    def forward(self, x):
+        b, n, e = x.shape
+        h = self.heads
+        qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, h, e // h)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        o = tF.scaled_dot_product_attention(q, k, v)
+        o = self.attn.proj(o.transpose(1, 2).reshape(b, n, e))
+        x = x + self.ls1(o)
+        y = self.mlp.fc2(tF.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + self.ls2(y)
+
+
+class TestDINOv2Parity:
+    def test_block_and_taps(self):
+        from pf3plat_tpu.models.backbones.dinov2 import DINOv2, ViTCfg
+        from pf3plat_tpu.models.backbones.weight_convert import convert_dinov2
+
+        e, heads, depth, pos = 48, 4, 2, 4
+        blocks = tnn.ModuleList([TVitBlock(e, heads) for _ in range(depth)])
+        patch = tnn.Conv2d(3, e, 14, stride=14)
+        norm = tnn.LayerNorm(e, eps=1e-6)
+        rng = np.random.default_rng(6)
+        cls_token = rng.normal(size=(1, 1, e)).astype(np.float32) * 0.02
+        pos_embed = rng.normal(size=(1, pos * pos + 1, e)).astype(
+            np.float32
+        ) * 0.02
+
+        sd = {"cls_token": cls_token, "pos_embed": pos_embed}
+        sd.update({f"patch_embed.proj.{k}": v.detach().numpy()
+                   for k, v in patch.named_parameters()})
+        sd.update({f"norm.{k}": v.detach().numpy()
+                   for k, v in norm.named_parameters()})
+        for i, blk in enumerate(blocks):
+            sd.update({f"blocks.{i}.{k}": v.detach().numpy()
+                       for k, v in blk.named_parameters()})
+
+        img = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+        # torch forward: 4x4 grid == pos grid (no interpolation)
+        with torch.no_grad():
+            t = patch(torch.from_numpy(img).permute(0, 3, 1, 2))
+            t = t.flatten(2).transpose(1, 2)
+            t = t + torch.from_numpy(pos_embed[:, 1:])
+            ct = torch.from_numpy(cls_token + pos_embed[:, :1]).expand(
+                2, -1, -1
+            )
+            t = torch.cat([ct, t], 1)
+            t_taps = []
+            for blk in blocks:
+                t = blk(t)
+                t_taps.append(norm(t))
+
+        cfg = ViTCfg(embed_dim=e, depth=depth, num_heads=heads,
+                     pos_embed_size=pos)
+        params = convert_dinov2(sd, depth=depth)
+        taps, cls = DINOv2(cfg, out_layers=(0, 1)).apply(
+            params, jnp.asarray(img)
+        )
+        # the flax ViT multiplies in bf16 (fp32 accumulate) on the MXU —
+        # the TPU-native mode for the frozen backbone — so parity vs fp32
+        # torch is bounded by bf16 input rounding (~2^-8 relative).
+        for i in range(depth):
+            tt = t2n(t_taps[i])
+            np.testing.assert_allclose(
+                np.asarray(cls[i]), tt[:, :1], atol=1e-2
+            )
+            np.testing.assert_allclose(
+                np.asarray(taps[i]).reshape(2, 16, e), tt[:, 1:], atol=1e-2
+            )
+
+    def test_pos_interp_matches_torch_bicubic(self):
+        from pf3plat_tpu.models.backbones.unidepth_layers import interp_matrix
+
+        rng = np.random.default_rng(7)
+        grid = rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
+        t = tF.interpolate(
+            torch.from_numpy(grid).permute(0, 3, 1, 2), size=(7, 7),
+            mode="bicubic",
+        ).permute(0, 2, 3, 1)
+        ah = interp_matrix(4, 7, "bicubic")
+        j = np.einsum("Hh,bhwc->bHwc", ah, grid)
+        j = np.einsum("Ww,bhwc->bhWc", ah, j)
+        np.testing.assert_allclose(j, t2n(t), atol=2e-5)
+
+
+class TestFullRoundtrip:
+    def test_tree_matches_flax_init(self):
+        """convert_unidepth's output tree must be loadable 1:1 into the
+        Flax UniDepth module (same paths, same shapes)."""
+        import flax
+
+        from pf3plat_tpu.models.backbones.unidepth import (
+            UniDepth, UniDepthCfg,
+        )
+
+        cfg = UniDepthCfg.tiny_test()
+        e = cfg.vit.embed_dim
+        dec = TDecoder(e, cfg.hidden_dim, cfg.num_heads, cfg.expansion,
+                       cfg.depths, cfg.camera_dim, len(cfg.output_idx))
+        sd = {f"pixel_decoder.{k}": v for k, v in sd_np(dec).items()}
+        sd.update({
+            f"pixel_encoder.{k}": v
+            for k, v in _tiny_vit_sd(
+                e, cfg.vit.depth, cfg.vit.pos_embed_size
+            ).items()
+        })
+        converted, info = wc.convert_unidepth(sd)
+        assert info["vit_depth"] == cfg.vit.depth
+
+        m = UniDepth(cfg)
+        img = jnp.ones((1, 56, 56, 3)) * 0.4
+        init = m.init(jax.random.PRNGKey(0), img, None)
+
+        fc = flax.traverse_util.flatten_dict(converted["params"])
+        fi = flax.traverse_util.flatten_dict(init["params"])
+        missing = set(fi) - set(fc)
+        extra = set(fc) - set(fi)
+        assert not missing, f"converter missing params: {sorted(missing)[:8]}"
+        assert not extra, f"converter extra params: {sorted(extra)[:8]}"
+        for k in fi:
+            assert np.shape(fc[k]) == np.shape(fi[k]), (
+                k, np.shape(fc[k]), np.shape(fi[k])
+            )
+
+        # converted params must actually run
+        out = m.apply({"params": converted["params"]}, img, None)
+        assert np.all(np.isfinite(np.asarray(out.depth)))
