@@ -38,6 +38,10 @@ class EvalCfg:
     eval_time_skip_steps: int = 5
     save_image: bool = True
     compute_scores: bool = True
+    # Render wobble + interpolated-trajectory videos per example
+    # (reference `model_wrapper.py:698-778` test-time video rendering).
+    save_video: bool = False
+    video_frames: int = 30
 
 
 def overlap_bucket(overlap: Optional[float]) -> str:
@@ -127,14 +131,80 @@ class Evaluator:
         self._metrics_file.flush()
 
         if self.cfg.save_image:
-            from ..visualization.layout import save_image
-
-            pred0 = np.asarray(out.color[0, 1 if images.shape[1] > 2 else 0])
-            save_image(
-                pred0,
-                self.cfg.output_path / "images" / f"{step_idx:06}.png",
+            from ..visualization.layout import (
+                apply_depth_color_map, save_image,
             )
+
+            # Per-method directory layout (matching filenames across gt/pred
+            # so `metric_computer.compute_metrics` can re-score offline;
+            # reference saves color/gt dirs per scene, model_wrapper.py:287-298).
+            tgt_slice = slice(1, -1) if images.shape[1] > 2 else slice(None)
+            gt_views = np.asarray(images[0, tgt_slice])
+            pred_views = np.asarray(out.color[0, tgt_slice])
+            for vi in range(pred_views.shape[0]):
+                stem = f"{step_idx:06}_{vi}"
+                save_image(
+                    pred_views[vi],
+                    self.cfg.output_path / "images" / "pred" / f"{stem}.png",
+                )
+                save_image(
+                    gt_views[vi],
+                    self.cfg.output_path / "images" / "gt" / f"{stem}.png",
+                )
+            # Side-by-side panel + rendered depth of the middle target view.
+            from ..visualization.layout import hcat, vcat
+
+            panel = vcat(hcat(*gt_views), hcat(*pred_views))
+            save_image(
+                panel, self.cfg.output_path / "compare" / f"{step_idx:06}.png"
+            )
+            if out.depth is not None:
+                mid = pred_views.shape[0] // 2
+                d = np.asarray(out.depth[0, tgt_slice][mid])
+                save_image(
+                    apply_depth_color_map(d),
+                    self.cfg.output_path / "depth" / f"{step_idx:06}.png",
+                )
+
+        if self.cfg.save_video:
+            self._render_videos(enc, intr, near, far, step_idx)
         return record
+
+    def _render_videos(self, enc, intr, near, far, step_idx: int) -> None:
+        """Wobble + interpolated trajectory videos through the decoder
+        (reference `render_video_wobble`/`render_video_interpolation`,
+        `model_wrapper.py:698-778`)."""
+        from ..models.decoder import decode
+        from ..visualization.layout import save_video
+        from ..visualization.trajectories import (
+            generate_wobble, interpolate_extrinsics,
+        )
+
+        c2w = jnp.linalg.inv(enc.refined_poses)[0]  # (v, 4, 4)
+        t = jnp.linspace(0.0, 1.0, self.cfg.video_frames)
+        delta = 0.25 * jnp.linalg.norm(c2w[-1, :3, 3] - c2w[0, :3, 3])
+        trajs = {
+            "wobble": generate_wobble(c2w[0], delta, t),
+            "interpolation": interpolate_extrinsics(c2w[0], c2w[-1], t),
+        }
+        dec_cfg = self.model.cfg.decoder
+        for name, traj in trajs.items():
+            frames = []
+            for s in range(0, self.cfg.video_frames, 6):
+                chunk = traj[s : s + 6][None]  # (1, f, 4, 4)
+                f = chunk.shape[1]
+                out = decode(
+                    dec_cfg, enc.gaussians, chunk,
+                    jnp.broadcast_to(intr[:, :1], (1, f, 3, 3)),
+                    jnp.broadcast_to(near[:, :1], (1, f)),
+                    jnp.broadcast_to(far[:, :1], (1, f)),
+                    enc.depths.shape[2:4],
+                )
+                frames += [np.asarray(img) for img in out.color[0]]
+            save_video(
+                frames,
+                self.cfg.output_path / "video" / f"{step_idx:06}_{name}.mp4",
+            )
 
     def finalize(self) -> dict:
         buckets: dict[str, list[dict]] = {}

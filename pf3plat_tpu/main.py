@@ -147,6 +147,20 @@ def run_train(cfg) -> None:
             )
             return to_batch(next(batches))
 
+    # Jitted validation paths (eager execution over a relay backend would
+    # cost one round-trip per primitive).
+    from .models.decoder import decode as _decode
+
+    val_forward = jax.jit(
+        lambda p, im, k, nr, fr, s, r: model.forward(p, im, k, nr, fr, s, r)
+    )
+    val_decode = jax.jit(
+        lambda g, traj, k, nr, fr: _decode(
+            model.cfg.decoder, g, traj, k, nr, fr,
+            tuple(cfg.dataset.image_shape),
+        )
+    )
+
     # Host loop with dispatch/compute overlap: the step counter lives on the
     # host (no per-step device sync), and batch N+1 is decoded while step N
     # runs on device; device_get happens only on checkpoint steps (the
@@ -172,9 +186,70 @@ def run_train(cfg) -> None:
                 f"mse={float(aux['mse']):.5f} {dt:.2f}s",
                 flush=True,
             )
+        if step % cfg.train.val_check_interval == 0:
+            run_validation(
+                cfg, model, jax.device_get(state.params), params.frozen,
+                batch, jax.random.fold_in(rng, 2**30 + step), step,
+                forward_fn=val_forward, decode_fn=val_decode,
+            )
         if step % cfg.checkpointing.every_n_steps == 0 or step >= cfg.max_steps:
             ckpt.maybe_save(jax.device_get(state))
     ckpt.wait()
+
+
+def run_validation(
+    cfg, model, trainable, frozen, batch, rng, step,
+    forward_fn, decode_fn,
+) -> None:
+    """Periodic holdout visualization — the reference's rank-0
+    `validation_step` (`src/model/model_wrapper.py:416-596`): render the
+    current batch's first example, save GT/pred comparison + depth panels
+    and a wobble trajectory video under the run directory.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.pf3plat import PF3platParams
+    from .visualization.layout import save_video
+    from .visualization.trajectories import generate_wobble
+    from .visualization.validation import comparison_panel
+
+    out_dir = Path(cfg.test.output_path).parent / "validation" / f"step_{step:07}"
+    try:
+        ctx = batch["context"]
+        take1 = lambda x: jnp.asarray(np.asarray(x)[:1])
+        images = take1(ctx["image"])
+        intr = take1(ctx["intrinsics"])
+        near = take1(ctx["near"])
+        far = take1(ctx["far"])
+        p = PF3platParams(trainable=trainable, frozen=frozen)
+        enc, out = forward_fn(
+            p, images, intr, near, far, jnp.asarray(step), rng
+        )
+        comparison_panel(
+            np.asarray(images[0]),
+            np.asarray(batch["target"]["image"][:1][0]),
+            np.asarray(out.color[0]),
+            depth=np.asarray(enc.depths[0]),
+            path=out_dir / "comparison.png",
+        )
+        c2w = jnp.linalg.inv(enc.refined_poses)[0]
+        t = jnp.linspace(0.0, 1.0, 24)
+        delta = 0.25 * jnp.linalg.norm(c2w[-1, :3, 3] - c2w[0, :3, 3]) + 1e-3
+        traj = generate_wobble(c2w[0], delta, t)[None]
+        f = traj.shape[1]
+        vid = decode_fn(
+            enc.gaussians, traj,
+            jnp.broadcast_to(intr[:, :1], (1, f, 3, 3)),
+            jnp.broadcast_to(near[:, :1], (1, f)),
+            jnp.broadcast_to(far[:, :1], (1, f)),
+        )
+        save_video(
+            [np.asarray(fr) for fr in vid.color[0]], out_dir / "wobble.mp4"
+        )
+        print(f"validation artifacts -> {out_dir}", flush=True)
+    except Exception as e:  # validation must never kill training
+        print(f"validation at step {step} failed: {e}", flush=True)
 
 
 def run_test(cfg) -> None:
@@ -217,6 +292,8 @@ def run_test(cfg) -> None:
             eval_time_skip_steps=cfg.test.eval_time_skip_steps,
             save_image=cfg.test.save_image,
             compute_scores=cfg.test.compute_scores,
+            save_video=cfg.test.save_video,
+            video_frames=cfg.test.video_frames,
         ),
         model, params, lpips_apply=lpips_apply,
     )

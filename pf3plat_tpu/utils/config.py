@@ -53,6 +53,8 @@ class TestCfg:
     compute_scores: bool = True
     eval_time_skip_steps: int = 5
     save_image: bool = True
+    save_video: bool = False   # wobble/interpolation videos per test example
+    video_frames: int = 30
 
 
 @dataclasses.dataclass

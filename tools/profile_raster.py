@@ -16,13 +16,13 @@ import jax.numpy as jnp
 
 def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: np.asarray(x).ravel()[:1], out
-    )  # sync after compile
+    # sync after compile -- slice ON DEVICE first, then fetch 4 bytes
+    # (np.asarray(x).ravel() would D2H the full array over the relay)
+    jax.tree_util.tree_map(lambda x: np.asarray(x.ravel()[:1]), out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], out)
+    jax.tree_util.tree_map(lambda x: np.asarray(x.ravel()[:1]), out)
     return (time.time() - t0) / iters
 
 
@@ -164,11 +164,14 @@ def main():
 
         bt = BinnedTiles(idx, cnt, ntx, nty)
 
-        def f(ss):
+        def f(xy, conic, op, color):
+            ss = s._replace(xy=xy, conic=conic, opacity=op, color=color)
             img = composite_tiles_pallas_batched(ss, bt, (h, w), bg, cfg)
             return jnp.mean((img - target[0]) ** 2)
 
-        return jax.grad(f)(s)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(
+            s.xy, s.conic, s.opacity, s.color
+        )
 
     t = timeit(comp_grad, screen, binned.indices, binned.counts)
     print(f"table+pallas f+b  : {t*1e3:8.3f} ms")
