@@ -67,6 +67,18 @@ def render(
 
     camera = make_camera(extrinsics, intrinsics, image_shape)
 
+    if impl == "anchored":
+        from .anchored import composite_anchored_batched
+
+        screen = jax.vmap(
+            lambda cam, m, c, o, s: project_gaussians(
+                cam, m, c, o, s, sh_degree, config, use_sh=use_sh
+            )
+        )(camera, means, covariances, opacities, sh)
+        return composite_anchored_batched(
+            screen, image_shape, background, config
+        )
+
     if impl == "pallas":
         # Flat-batch path: projection is pure elementwise math (vmap is
         # free), but binning + compositing fold the batch into the tile

@@ -41,6 +41,10 @@ class RasterizeConfig:
     # visually negligible, but off by default to keep exact CUDA-order
     # parity with the brute-force oracle.
     fused_sort_key: bool = False
+    # Per-anchor-tile capacity of the `anchored` pipeline (gaussians kept
+    # per anchor segment; the compositing tile merges 4 neighbor segments,
+    # so its effective capacity is up to 4x this). Must be a multiple of 128.
+    anchor_capacity: int = 1024
     near_cull: float = 0.2
     dilation: float = 0.3
     alpha_clamp: float = 0.99
