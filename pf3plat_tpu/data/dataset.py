@@ -160,7 +160,15 @@ class ChunkDataset:
                 if result is not None:
                     yield result
 
-    def _build_example(self, ex: dict, global_step: int) -> Optional[Example]:
+    def _sample_example(self, ex: dict, global_step: int) -> Optional[dict]:
+        """RNG-consuming phase: view sampling + augmentation seed draw.
+
+        Runs on the iteration thread (self.rng is not thread-safe); the
+        returned plan makes `_realize_example` pure, so JPEG decode can run
+        on a worker pool (`data/prefetch.py`) — the TPU-host answer to the
+        reference's multi-worker DataLoaders
+        (`src/dataset/data_module.py:90-110`).
+        """
         cfg = self.cfg
         extrinsics, intrinsics = convert_poses(ex["cameras"])
         scene = ex["key"]
@@ -177,6 +185,27 @@ class ChunkDataset:
         union = np.asarray(
             sorted(set(ctx_idx.tolist()) | set(tgt_idx.tolist())), np.int64
         )
+        return {
+            "extrinsics": extrinsics,
+            "intrinsics": intrinsics,
+            "scene": scene,
+            "union": union,
+            "aug_seed": int(self.rng.integers(2**31 - 1)),
+        }
+
+    def _build_example(self, ex: dict, global_step: int) -> Optional[Example]:
+        plan = self._sample_example(ex, global_step)
+        if plan is None:
+            return None
+        return self._realize_example(ex, plan)
+
+    def _realize_example(self, ex: dict, plan: dict) -> Optional[Example]:
+        """Pure decode/shim phase — thread-safe given a sampled plan."""
+        cfg = self.cfg
+        extrinsics = plan["extrinsics"]
+        intrinsics = plan["intrinsics"]
+        scene = plan["scene"]
+        union = plan["union"]
         ctx_idx = tgt_idx = union
 
         images = decode_images([ex["images"][i] for i in union])
@@ -214,7 +243,9 @@ class ChunkDataset:
         if "overlap" in ex:
             example["overlap"] = ex["overlap"]  # type: ignore[typeddict-unknown-key]
         if self.stage == "train" and cfg.augment:
-            example = apply_augmentation_shim(example, self.rng)
+            example = apply_augmentation_shim(
+                example, np.random.default_rng(plan["aug_seed"])
+            )
         return apply_crop_shim(example, tuple(cfg.image_shape))
 
 

@@ -40,8 +40,14 @@ def build_model(cfg):
 
 
 def batch_iterator(cfg, stage, host_id, num_hosts, get_step):
-    """Yield fixed-shape batches, grouping examples by view count."""
+    """Yield fixed-shape batches, grouping examples by view count.
+
+    JPEG decode runs on a background thread pool (`data/prefetch.py`) —
+    the reference's multi-worker DataLoader equivalent
+    (`src/dataset/data_module.py:90-110`).
+    """
     from .data.dataset import ChunkDataset, batch_examples
+    from .data.prefetch import ExamplePipeline
     from .data.view_samplers import BoundedViewSampler, EvaluationViewSampler
 
     if cfg.evaluation_index is not None and stage == "test":
@@ -52,18 +58,26 @@ def batch_iterator(cfg, stage, host_id, num_hosts, get_step):
         cfg.dataset, sampler, stage=stage, host_id=host_id,
         num_hosts=num_hosts, seed=cfg.data_loader.seed,
     )
+    pipeline = ExamplePipeline(
+        ds, get_step,
+        num_workers=cfg.data_loader.num_workers,
+        prefetch=cfg.data_loader.prefetch,
+    )
     target_bs = cfg.data_loader.batch_size if stage == "train" else 1
     pending: dict[int, list] = {}
-    while True:
-        produced = False
-        for ex in ds.examples(global_step=get_step()):
-            produced = True
-            v = ex["context"]["image"].shape[0]
-            pending.setdefault(v, []).append(ex)
-            if len(pending[v]) == target_bs:
-                yield batch_examples(pending.pop(v))
-        if stage != "train" or not produced:
-            return
+    try:
+        while True:
+            produced = False
+            for ex in pipeline:
+                produced = True
+                v = ex["context"]["image"].shape[0]
+                pending.setdefault(v, []).append(ex)
+                if len(pending[v]) == target_bs:
+                    yield batch_examples(pending.pop(v))
+            if stage != "train" or not produced:
+                return
+    finally:
+        pipeline.close()
 
 
 def run_train(cfg) -> None:

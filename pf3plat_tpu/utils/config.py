@@ -39,6 +39,11 @@ def get_raw_cfg() -> dict:
 class DataLoaderCfg:
     batch_size: int = 4
     seed: int = 1234
+    # Background JPEG-decode threads (0 = synchronous). The reference uses 16
+    # DataLoader worker processes (config/main.yaml data_loader.train);
+    # threads suffice here since libjpeg releases the GIL (data/prefetch.py).
+    num_workers: int = 4
+    prefetch: int = 16
 
 
 @dataclasses.dataclass

@@ -189,6 +189,46 @@ class TestChunkDataset:
         batch = batch_examples(same)
         assert batch["context"]["image"].shape[1:] == (v, 64, 64, 3)
 
+    def test_parallel_pipeline_matches_synchronous(self, tmp_path):
+        """ExamplePipeline yields byte-identical examples in the same order
+        as the synchronous path (determinism is worker-count independent)."""
+        from pf3plat_tpu.data.prefetch import ExamplePipeline
+
+        train_dir = tmp_path / "train"
+        train_dir.mkdir()
+        make_chunk(train_dir / "000000.torch", seed=0)
+        make_chunk(train_dir / "000001.torch", seed=1)
+        cfg = DatasetCfg(
+            roots=[tmp_path], image_shape=(64, 64),
+            original_image_shape=(72, 128),
+        )
+
+        def make_ds():
+            sampler = BoundedViewSampler(BoundedSamplerCfg(
+                num_target_views=2,
+                min_distance_between_context_views=10,
+                max_distance_between_context_views=20,
+            ))
+            return ChunkDataset(cfg, sampler, stage="train", seed=3)
+
+        sync = list(make_ds().examples(global_step=0))
+        with ExamplePipeline(
+            make_ds(), lambda: 0, num_workers=4, prefetch=3
+        ) as pipe:
+            par = list(pipe)
+        assert len(sync) == len(par) > 0
+        for a, b in zip(sync, par):
+            assert a["scene"] == b["scene"]
+            np.testing.assert_array_equal(
+                a["context"]["index"], b["context"]["index"]
+            )
+            np.testing.assert_array_equal(
+                a["context"]["image"], b["context"]["image"]
+            )
+            np.testing.assert_allclose(
+                a["context"]["extrinsics"], b["context"]["extrinsics"]
+            )
+
     def test_host_sharding_partitions_chunks(self, tmp_path):
         train_dir = tmp_path / "train"
         train_dir.mkdir()
