@@ -70,8 +70,22 @@ def main() -> None:
         raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128, fused_sort_key=True),
     )
 
+    # Optional: exercise the tile-sharded render (PF3PLAT_BENCH_TILE_AXIS=k
+    # shards the compositing rows over a k-device mesh; needs k chips).
+    import os
+
+    mesh = None
+    tile_axis = int(os.environ.get("PF3PLAT_BENCH_TILE_AXIS", "1"))
+    if tile_axis > 1:
+        from pf3plat_tpu.parallel import MeshCfg, make_mesh
+
+        mesh = make_mesh(
+            MeshCfg(data_axis=1, tile_axis=tile_axis),
+            devices=jax.devices()[:tile_axis],
+        )
+
     def loss_fn(g):
-        out = decode(cfg, g, extr, intr, near, far, (h, w))
+        out = decode(cfg, g, extr, intr, near, far, (h, w), mesh=mesh)
         return jnp.mean((out.color - target) ** 2)
 
     step = jax.jit(jax.grad(loss_fn))

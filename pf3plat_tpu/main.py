@@ -94,10 +94,16 @@ def run_train(cfg) -> None:
     )
 
     model = build_model(cfg)
-    n_data = max(1, min(len(jax.devices()), cfg.data_loader.batch_size))
-    mesh = make_mesh(MeshCfg(data_axis=n_data), devices=jax.devices()[:n_data])
+    tile = max(1, cfg.train.tile_axis)
+    n_data = max(
+        1, min(len(jax.devices()) // tile, cfg.data_loader.batch_size)
+    )
+    mesh = make_mesh(
+        MeshCfg(data_axis=n_data, tile_axis=tile),
+        devices=jax.devices()[: n_data * tile],
+    )
     host_id, num_hosts = jax.process_index(), jax.process_count()
-    print(f"mesh: data={n_data} hosts={num_hosts}", flush=True)
+    print(f"mesh: data={n_data} tile={tile} hosts={num_hosts}", flush=True)
 
     step_holder = {"step": 0}
     batches = batch_iterator(
@@ -133,6 +139,7 @@ def run_train(cfg) -> None:
         make_model_train_step(
             model, cfg.loss, opt,
             tuple(cfg.dataset.image_shape),
+            mesh=mesh if n_data * tile > 1 else None,
         ),
         donate_argnums=(0,),
     )

@@ -43,7 +43,11 @@ def decode(
     far: Array,         # (b, v)
     image_shape: tuple[int, int],
     depth_mode: DepthRenderingMode | None = None,
+    mesh=None,
 ) -> DecoderOutput:
+    """`mesh`: optional Mesh — tile-shards the pallas compositing rows
+    (batch*view*tiles) over all mesh axes; None or a 1-sized mesh is the
+    identical single-device path."""
     b, v = extrinsics.shape[:2]
     flat = lambda x: x.reshape(b * v, *x.shape[2:])
     rep = lambda x: jnp.repeat(x, v, axis=0)  # (b, g, ...) -> (b*v, g, ...)
@@ -64,6 +68,7 @@ def decode(
         rep(gaussians.opacities),
         impl=cfg.impl,
         config=cfg.raster,
+        mesh=mesh,
     )
     h, w = image_shape
     color = color.reshape(b, v, h, w, 3)
@@ -82,6 +87,7 @@ def decode(
             mode=depth_mode,
             impl=cfg.impl,
             config=cfg.raster,
+            mesh=mesh,
         ).reshape(b, v, h, w)
 
     return DecoderOutput(color=color, depth=depth)

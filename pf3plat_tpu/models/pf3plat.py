@@ -130,6 +130,7 @@ class PF3plat:
         global_step: Array,
         rng: Array,
         render_views: bool = True,
+        mesh=None,
     ) -> tuple[EncoderOutput, Optional[DecoderOutput]]:
         h, w = images.shape[2:4]
         frozen_out, corr = self.perceive(params.frozen, images, intrinsics)
@@ -142,6 +143,6 @@ class PF3plat:
             c2w = jnp.linalg.inv(enc.refined_poses)
             out = decode(
                 self.cfg.decoder, enc.gaussians, c2w, intrinsics, near, far,
-                (h, w),
+                (h, w), mesh=mesh,
             )
         return enc, out

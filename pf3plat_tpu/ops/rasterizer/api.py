@@ -50,8 +50,14 @@ def render(
     use_sh: bool = True,
     impl: str = "tiled",
     config: RasterizeConfig = DEFAULT_CONFIG,
+    mesh=None,
 ) -> Array:
-    """Render each batch element's gaussians into its camera. -> (b, h, w, c)."""
+    """Render each batch element's gaussians into its camera. -> (b, h, w, c).
+
+    `mesh`: optional `jax.sharding.Mesh` — shards the pallas compositing's
+    (batch * tiles) rows over all mesh axes (see pallas_impl); other impls
+    ignore it.
+    """
     if scale_invariant:
         # Reference `cuda_splatting.py:63-70`: put the world in a numerically
         # friendly range by scaling so near == 1.
@@ -92,7 +98,7 @@ def render(
         )(camera, means, covariances, opacities, sh)
         binned = bin_gaussians_batched(screen, image_shape, config)
         return composite_tiles_pallas_batched(
-            screen, binned, image_shape, background, config
+            screen, binned, image_shape, background, config, mesh=mesh
         )
 
     def render_one(cam, mean, cov, op, sh_one, bg):
@@ -131,6 +137,7 @@ def render_depth(
     mode: DepthRenderingMode = "depth",
     impl: str = "tiled",
     config: RasterizeConfig = DEFAULT_CONFIG,
+    mesh=None,
 ) -> Array:
     """Render camera-space depth by splatting per-gaussian Z as color.
 
@@ -170,6 +177,7 @@ def render_depth(
         use_sh=False,
         impl=impl,
         config=config,
+        mesh=mesh,
     )
     return result[..., 0]
 

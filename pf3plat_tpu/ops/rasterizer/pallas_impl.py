@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -77,9 +79,10 @@ def _chunk_alpha(data, px, py, config):
 
 
 def _fwd_kernel(
-    counts_ref,      # scalar prefetch (tiles,)
+    counts_ref,      # scalar prefetch (rows,)
+    tile_ids_ref,    # scalar prefetch (rows,) image-tile index per table row
     table_ref,       # (1, F, cap) VMEM
-    bg_ref,          # (1, ch, 1) VMEM
+    bg_ref,          # (1, ch, 1) VMEM per-row background
     img_ref,         # (1, ch, P) VMEM out
     tfin_ref,        # (1, 1, P) VMEM out
     tchk_ref,        # (1, n_chunks, P) VMEM out
@@ -89,7 +92,6 @@ def _fwd_kernel(
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
-    num_tiles: int,
     n_chunks: int,
 ):
     c = config.chunk
@@ -97,7 +99,10 @@ def _fwd_kernel(
     p = ts * ts
     dtype = table_ref.dtype
 
-    t_img = pl.program_id(0) % num_tiles
+    # The image-tile index comes from prefetched data, not program_id, so the
+    # grid can be an arbitrary row slice — this is what lets shard_map split
+    # the (batch * tiles) rows across chips (each shard's ids stay global).
+    t_img = tile_ids_ref[pl.program_id(0)]
     tx = t_img % tiles_x
     ty = t_img // tiles_x
     local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -157,21 +162,21 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    counts_ref,      # scalar prefetch (tiles,)
+    counts_ref,      # scalar prefetch (rows,)
+    tile_ids_ref,    # scalar prefetch (rows,)
     table_ref,       # (1, F, cap)
-    bg_ref,          # (1, ch, 1)
+    bg_ref,          # (1, ch, 1) per-row background
     tchk_ref,        # (1, n_chunks, P)
     tfin_ref,        # (1, 1, P)
     gimg_ref,        # (1, ch, P) cotangent of image
     gtf_ref,         # (1, 1, P) cotangent of t_final
     dtab_ref,        # (1, F, cap) out
-    dbg_ref,         # (1, ch, 1) out
+    dbg_ref,         # (1, ch, 1) out per-row
     tail,            # (1, P) scratch: suffix sum of w_j (c_j . g) + T_fin*(...)
     *,
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
-    num_tiles: int,
     n_chunks: int,
 ):
     c = config.chunk
@@ -179,7 +184,7 @@ def _bwd_kernel(
     p = ts * ts
     dtype = table_ref.dtype
 
-    t_img = pl.program_id(0) % num_tiles
+    t_img = tile_ids_ref[pl.program_id(0)]
     tx = t_img % tiles_x
     ty = t_img // tiles_x
     local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -273,18 +278,23 @@ def _bwd_kernel(
 
 @functools.lru_cache(maxsize=32)
 def _make_composite(
-    batch: int,
-    num_tiles: int,
+    rows: int,
     f_dim: int,
     channels: int,
     tiles_x: int,
     config: RasterizeConfig,
     interpret: bool,
 ):
+    """Row-oriented compositor: (rows, F, cap) tables -> (rows, ch, P) tiles.
+
+    Rows are (batch * image-tile) entries in any order/slice; each row's
+    image-tile index and background arrive as data (scalar prefetch /
+    per-row input), so a mesh shard holding a contiguous row slice runs the
+    identical kernel — the basis of tile-axis sharding (SURVEY §2.4).
+    """
     cap = config.tile_capacity
     n_chunks = cap // config.chunk
     p = config.tile_size**2
-    total = batch * num_tiles
     if not interpret and config.chunk % 128 != 0:
         raise ValueError(
             "RasterizeConfig.chunk must be a multiple of 128 for the compiled "
@@ -295,17 +305,14 @@ def _make_composite(
     fwd_call = pl.pallas_call(
         functools.partial(
             _fwd_kernel, config=config, channels=channels,
-            tiles_x=tiles_x, num_tiles=num_tiles, n_chunks=n_chunks,
+            tiles_x=tiles_x, n_chunks=n_chunks,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(total,),
+            num_scalar_prefetch=2,
+            grid=(rows,),
             in_specs=[
                 pl.BlockSpec((1, f_dim, cap), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec(
-                    (1, channels, 1),
-                    lambda t, *_: (t // num_tiles, 0, 0),
-                ),
+                pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
@@ -318,9 +325,9 @@ def _make_composite(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((total, channels, p), jnp.float32),
-            jax.ShapeDtypeStruct((total, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((total, n_chunks, p), jnp.float32),
+            jax.ShapeDtypeStruct((rows, channels, p), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n_chunks, p), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -328,17 +335,14 @@ def _make_composite(
     bwd_call = pl.pallas_call(
         functools.partial(
             _bwd_kernel, config=config, channels=channels,
-            tiles_x=tiles_x, num_tiles=num_tiles, n_chunks=n_chunks,
+            tiles_x=tiles_x, n_chunks=n_chunks,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(total,),
+            num_scalar_prefetch=2,
+            grid=(rows,),
             in_specs=[
                 pl.BlockSpec((1, f_dim, cap), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec(
-                    (1, channels, 1),
-                    lambda t, *_: (t // num_tiles, 0, 0),
-                ),
+                pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
@@ -351,30 +355,31 @@ def _make_composite(
             scratch_shapes=[pltpu.VMEM((1, p), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((total, f_dim, cap), jnp.float32),
-            jax.ShapeDtypeStruct((total, channels, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, f_dim, cap), jnp.float32),
+            jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
         ],
         interpret=interpret,
     )
 
     @jax.custom_vjp
-    def composite(table, counts, background):
-        img, tfin, _ = fwd_call(counts, table, background[..., None])
+    def composite(table, counts, tile_ids, bg_rows):
+        img, tfin, _ = fwd_call(counts, tile_ids, table, bg_rows[..., None])
         return img, tfin[:, 0, :]
 
-    def composite_fwd(table, counts, background):
-        img, tfin, tchk = fwd_call(counts, table, background[..., None])
-        return (img, tfin[:, 0, :]), (table, counts, background, tfin, tchk)
+    def composite_fwd(table, counts, tile_ids, bg_rows):
+        img, tfin, tchk = fwd_call(counts, tile_ids, table, bg_rows[..., None])
+        return (img, tfin[:, 0, :]), (
+            table, counts, tile_ids, bg_rows, tfin, tchk
+        )
 
     def composite_bwd(res, cots):
-        table, counts, background, tfin, tchk = res
+        table, counts, tile_ids, bg_rows, tfin, tchk = res
         g_img, g_tfin = cots
         dtab, dbg = bwd_call(
-            counts, table, background[..., None], tchk, tfin,
+            counts, tile_ids, table, bg_rows[..., None], tchk, tfin,
             g_img, g_tfin[:, None, :],
         )
-        dbg = dbg[:, :, 0].reshape(batch, num_tiles, -1).sum(axis=1)
-        return dtab, None, dbg
+        return dtab, None, None, dbg[:, :, 0]
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -404,11 +409,19 @@ def composite_tiles_pallas_batched(
     image_shape: tuple[int, int],
     background: Array,  # (b, c)
     config: RasterizeConfig,
+    mesh=None,
 ) -> Array:
     """Batched Pallas compositing over binned tiles -> (b, h, w, c).
 
     Flattens the batch into the tile grid (grid = b * tiles) instead of
     vmapping — batching the pipeline under vmap lowers ~4x slower on TPU.
+
+    With a `jax.sharding.Mesh`, the (batch * tiles) rows are sharded over
+    ALL mesh axes via shard_map — batch rows follow the `data` axis and
+    each example's tiles split across the `tile` axis, with zero cross-chip
+    traffic in the forward (the backward's only collective is XLA's psum of
+    gaussian grads over `tile`). A 1-sized mesh (or None) compiles to the
+    identical unsharded kernel.
     """
     h, w = image_shape
     ts = config.tile_size
@@ -441,10 +454,37 @@ def composite_tiles_pallas_batched(
     table = gathered.swapaxes(1, 2)
 
     interpret = jax.default_backend() != "tpu"
-    composite = _make_composite(
-        b, num_tiles, f_dim, channels, tiles_x, config, interpret
-    )
-    img_tiles, _ = composite(table, binned.counts.reshape(-1), background)
+    total = b * num_tiles
+    counts = binned.counts.reshape(-1)
+    tile_ids = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
+    bg_rows = jnp.repeat(background, num_tiles, axis=0)  # (total, ch)
+
+    n_shards = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    if n_shards > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        if total % n_shards:
+            raise ValueError(
+                f"{total} tile rows not divisible by mesh size {n_shards}"
+            )
+        rows = total // n_shards
+        composite = _make_composite(
+            rows, f_dim, channels, tiles_x, config, interpret
+        )
+        spec = PartitionSpec(tuple(mesh.axis_names))
+        composite = shard_map(
+            composite,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec),
+            check_vma=False,
+        )
+    else:
+        composite = _make_composite(
+            total, f_dim, channels, tiles_x, config, interpret
+        )
+    img_tiles, _ = composite(table, counts, tile_ids, bg_rows)
 
     out = img_tiles.reshape(b, tiles_y, tiles_x, channels, ts, ts)
     out = out.transpose(0, 1, 4, 2, 5, 3).reshape(

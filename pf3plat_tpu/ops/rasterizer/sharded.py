@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .binning import bin_gaussians_batched
 from .project import make_camera, project_gaussians
@@ -104,7 +104,7 @@ def render_tile_sharded(
         mesh=mesh,
         in_specs=(P("tile"), P("tile"), P("tile"), P("tile"), P("tile")),
         out_specs=P("tile"),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded_composite(g, sv, pxs, pys, bgs):
         # One shard's slice of tiles; zero cross-chip traffic.

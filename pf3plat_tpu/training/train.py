@@ -162,6 +162,7 @@ def make_model_train_step(
     opt: optax.GradientTransformation,
     image_shape: tuple[int, int],
     lpips_apply=None,
+    mesh=None,
 ):
     """Full-pipeline train step: frozen perception runs inside the jitted
     graph (stop-gradient'd), so one `train_step(state, batch, rng)` covers
@@ -178,7 +179,7 @@ def make_model_train_step(
         enc, out = model.forward(
             PF3platParams(params, batch["frozen_params"]),
             ctx["image"], ctx["intrinsics"], ctx["near"], ctx["far"],
-            batch["step"], rng,
+            batch["step"], rng, mesh=mesh,
         )
         # LPIPS trains from step `lpips_apply_after_step` with the frozen
         # VGG carried in the batch's frozen params (reference

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pf3plat_tpu.models.costvolume import (
     DepthPredictorCfg,
@@ -119,6 +120,7 @@ class TestWarp:
             )
 
 
+@pytest.mark.slow
 class TestDepthPredictor:
     def test_full_forward(self):
         cfg = DepthPredictorCfg(

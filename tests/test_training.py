@@ -67,6 +67,7 @@ class TestMetrics:
         assert float(e["trans_norm"][0]) < 1e-6
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_loss_decreases(self):
         cfg = tiny_cfg()

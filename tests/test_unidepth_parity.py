@@ -556,8 +556,10 @@ class TestDecoderParity:
             [jnp.asarray(g) for g in glo],
             self.IMG, self.SHAPES, None,
         )
+        # K_px entries are O(30) pixels; rtol covers f32 reduction-order
+        # drift between torch and XLA matmuls through the deep camera head.
         np.testing.assert_allclose(
-            np.asarray(out["K_px"]), t2n(tk), atol=2e-4
+            np.asarray(out["K_px"]), t2n(tk), rtol=1e-4, atol=2e-4
         )
         np.testing.assert_allclose(
             np.asarray(out["confidence"]), t2n(tc), atol=2e-4
@@ -701,6 +703,7 @@ class TestDINOv2Parity:
         np.testing.assert_allclose(j, t2n(t), atol=2e-5)
 
 
+@pytest.mark.slow
 class TestFullRoundtrip:
     def test_tree_matches_flax_init(self):
         """convert_unidepth's output tree must be loadable 1:1 into the
