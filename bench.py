@@ -67,7 +67,7 @@ def main() -> None:
 
     cfg = DecoderCfg(
         impl="pallas",
-        raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128, fused_sort_key=True),
+        raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128),
     )
 
     # Optional: exercise the tile-sharded render (PF3PLAT_BENCH_TILE_AXIS=k

@@ -147,11 +147,29 @@ def bin_gaussians_batched(
     # with quantized depth bits (~2x faster; see RasterizeConfig).
     if config.fused_sort_key:
         bits_d = 31 - max(1, (total_tiles - 1)).bit_length() - 1
+        # Range-normalized quantization: bits_d levels spread uniformly over
+        # the scene's [min, max] depth (not truncated float bits, which waste
+        # precision on the exponent range). Gaussians whose depths quantize
+        # to the same level keep their id order (the sort is stable), exactly
+        # like true depth ties under the 2-key sort — so divergence is
+        # bounded by reorderings within one level (range / 2^bits_d deep).
+        d = screen.depth
+        dvalid = visible & (d > 0)
+        dmin = jnp.min(jnp.where(dvalid, d, jnp.inf))
+        dmax = jnp.max(jnp.where(dvalid, d, -jnp.inf))
+        levels = jnp.float32((1 << bits_d) - 1)
+        dq = jnp.clip(
+            (d - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0
+        ) * levels
+        # levels rounds UP in float32 once bits_d > 24, so the product can
+        # hit 2^bits_d exactly at max depth — clamp after the integer cast
+        # or the top level overflows into the tile bits.
+        dq = jnp.minimum(dq.astype(jnp.int32), (1 << bits_d) - 1)
+        dq = jnp.broadcast_to(
+            dq[..., None], (b, n, max_dup)
+        ).reshape(total_pairs)
         fused = jnp.where(
-            tile_key == _INT32_MAX,
-            _INT32_MAX,
-            (tile_key << bits_d)
-            | jax.lax.shift_right_logical(depth_keys, 31 - bits_d),
+            tile_key == _INT32_MAX, _INT32_MAX, (tile_key << bits_d) | dq
         )
         fused_sorted, ids_sorted = jax.lax.sort((fused, ids), num_keys=1)
         tile_sorted = jnp.where(
