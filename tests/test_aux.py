@@ -181,3 +181,38 @@ class TestLoggingAndBench:
         res = compute_metrics(tmp_path / "gt", {"m1": tmp_path / "m1"})
         assert res["m1"]["count"] == 2
         assert res["m1"]["psnr"] > 50  # identical images
+
+
+class TestProfiling:
+    def test_trace_and_breakdown(self, tmp_path):
+        from pf3plat_tpu.utils import profiling
+
+        f = jax.jit(lambda x: (x @ x).sum())
+        x = jnp.ones((256, 256))
+        f(x)  # compile outside the trace
+        with profiling.trace(tmp_path):
+            r = f(x)
+            np.asarray(r)
+        rows = profiling.device_op_breakdown(tmp_path)
+        assert rows, "trace produced no duration events"
+        assert all(r["total_us"] >= 0 for r in rows)
+        table = profiling.format_breakdown(rows, top=5)
+        assert "name" in table.splitlines()[0]
+
+    def test_raster_traffic_model(self):
+        from pf3plat_tpu.ops.rasterizer import RasterizeConfig
+        from pf3plat_tpu.utils.profiling import raster_traffic_model
+
+        m = raster_traffic_model(RasterizeConfig(), (256, 256), 2, 2 * 256**2)
+        d = m.as_dict()
+        assert d["total_bytes"] == sum(
+            d[k] for k in ("sort_bytes", "gather_bytes", "kernel_fwd_bytes",
+                           "kernel_bwd_bytes", "scatter_bytes")
+        )
+        assert m.rays == 2 * 256**2
+        assert m.roofline_ms() > 0
+        # exact 2-key sort moves more bytes than the fused single key
+        m2 = raster_traffic_model(
+            RasterizeConfig(fused_sort_key=False), (256, 256), 2, 2 * 256**2
+        )
+        assert m2.sort_bytes > m.sort_bytes
