@@ -231,6 +231,7 @@ def run_validation(
     import numpy as np
 
     from .models.pf3plat import PF3platParams
+    from .visualization.encoder_vis import encoder_internals_panels
     from .visualization.layout import save_video
     from .visualization.trajectories import generate_wobble
     from .visualization.validation import comparison_panel
@@ -254,6 +255,7 @@ def run_validation(
             depth=np.asarray(enc.depths[0]),
             path=out_dir / "comparison.png",
         )
+        encoder_internals_panels(np.asarray(images[0]), enc, out_dir)
         c2w = jnp.linalg.inv(enc.refined_poses)[0]
         t = jnp.linspace(0.0, 1.0, 24)
         delta = 0.25 * jnp.linalg.norm(c2w[-1, :3, 3] - c2w[0, :3, 3]) + 1e-3

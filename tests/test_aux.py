@@ -216,3 +216,42 @@ class TestProfiling:
             RasterizeConfig(fused_sort_key=False), (256, 256), 2, 2 * 256**2
         )
         assert m2.sort_bytes > m.sort_bytes
+
+
+class TestEncoderVis:
+    def test_gaussians_panel(self, tmp_path):
+        from pf3plat_tpu.visualization.encoder_vis import gaussians_panel
+
+        rng = np.random.default_rng(0)
+        v, h, w = 2, 16, 24
+        g = v * h * w
+        panel = gaussians_panel(
+            rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32),
+            rng.uniform(0, 1, (g,)).astype(np.float32),
+            np.broadcast_to(np.eye(3) * 1e-4, (g, 3, 3)).astype(np.float32),
+            rng.uniform(0, 1, (g, 3)).astype(np.float32),
+            path=tmp_path / "gauss.png",
+        )
+        assert panel.ndim == 3 and panel.shape[-1] == 3
+        assert (tmp_path / "gauss.png").exists()
+        assert np.isfinite(panel).all()
+
+    def test_matches_panel(self, tmp_path):
+        from pf3plat_tpu.visualization.encoder_vis import matches_panel
+
+        rng = np.random.default_rng(1)
+        v, h, w, m = 3, 20, 30, 8
+        pairs = [(0, 1), (1, 2), (0, 2)]
+        pi = np.array([p[0] for p in pairs])
+        pj = np.array([p[1] for p in pairs])
+        panel = matches_panel(
+            rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32),
+            rng.uniform(0, [w - 1, h - 1], (len(pairs), m, 2)),
+            rng.uniform(0, [w - 1, h - 1], (len(pairs), m, 2)),
+            rng.uniform(0, 1, (len(pairs), m)).astype(np.float32),
+            np.ones((len(pairs), m), bool),
+            pi, pj,
+            path=tmp_path / "matches.png",
+        )
+        assert panel.ndim == 3
+        assert (tmp_path / "matches.png").exists()
