@@ -76,3 +76,50 @@ def generate_index(
     cfg.output_path.parent.mkdir(exist_ok=True, parents=True)
     cfg.output_path.write_text(json.dumps(index, indent=2))
     return index
+
+
+def main(argv=None) -> None:
+    """CLI (reference `src/scripts/generate_evaluation_index.py` equivalent):
+
+    python -m pf3plat_tpu.evaluation.index_generator DATASET_ROOT \
+        [--out index.json] [--stage test] [--seed 0]
+
+    Walks the chunk files under DATASET_ROOT/STAGE and emits the
+    {scene: {context, target, overlap} | null} JSON the evaluation
+    protocol consumes.
+    """
+    import sys
+    from pathlib import Path as _P
+
+    from ..data.dataset import convert_poses, load_chunk
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def opt(flag, default):
+        if flag in argv:
+            i = argv.index(flag)
+            v = argv[i + 1]
+            del argv[i:i + 2]
+            return v
+        return default
+
+    out = _P(opt("--out", "evaluation_index.json"))
+    stage = opt("--stage", "test")
+    seed = int(opt("--seed", "0"))
+    if not argv:
+        raise SystemExit(main.__doc__)
+    root = _P(argv[0]) / stage
+
+    scenes = {}
+    chunks = sorted(root.glob("*.pfchunk")) or sorted(root.glob("*.torch"))
+    for cpath in chunks:
+        for ex in load_chunk(cpath):
+            extr, intr = convert_poses(ex["cameras"])
+            scenes[ex["key"]] = (extr, intr)
+    index = generate_index(IndexGeneratorCfg(output_path=out), scenes, seed)
+    n_valid = sum(v is not None for v in index.values())
+    print(f"{out}: {n_valid}/{len(index)} scenes valid")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,31 @@ def compute_metrics(
         Path(output_path).parent.mkdir(exist_ok=True, parents=True)
         Path(output_path).write_text(json.dumps(results, indent=2))
     return results
+
+
+def main(argv=None) -> None:
+    """CLI (reference `src/scripts/compute_metrics.py` equivalent):
+
+    python -m pf3plat_tpu.evaluation.metric_computer GT_DIR \
+        name1=dir1 [name2=dir2 ...] [--out metrics.json]
+    """
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = Path(argv[i + 1])
+        del argv[i:i + 2]
+    if len(argv) < 2:
+        raise SystemExit(main.__doc__)
+    gt = Path(argv[0])
+    methods = dict(a.split("=", 1) for a in argv[1:])
+    results = compute_metrics(
+        gt, {k: Path(v) for k, v in methods.items()}, output_path=out
+    )
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -255,3 +255,52 @@ class TestEncoderVis:
         )
         assert panel.ndim == 3
         assert (tmp_path / "matches.png").exists()
+
+
+class TestIndexGenerator:
+    def _scenes(self, n=60):
+        extr = np.broadcast_to(np.eye(4, dtype=np.float32), (n, 4, 4)).copy()
+        extr[:, 0, 3] = 0.01 * np.arange(n)
+        intr = np.broadcast_to(
+            np.array([[0.9, 0, 0.5], [0, 1.6, 0.5], [0, 0, 1.0]],
+                     np.float32), (n, 3, 3)).copy()
+        return extr, intr
+
+    def test_generate_index_valid_and_null(self, tmp_path):
+        from pf3plat_tpu.evaluation.index_generator import (
+            IndexGeneratorCfg, generate_index,
+        )
+
+        extr, intr = self._scenes()
+        # accept-anything window -> valid entry with correct shapes
+        cfg = IndexGeneratorCfg(
+            min_overlap=0.0, max_overlap=1.0,
+            output_path=tmp_path / "idx.json",
+        )
+        idx = generate_index(cfg, {"a": (extr, intr)}, seed=0)
+        assert idx["a"] is not None
+        assert len(idx["a"]["context"]) == 2
+        assert len(idx["a"]["target"]) == cfg.num_target_views
+        lo, hi = idx["a"]["context"]
+        assert all(lo <= t <= hi for t in idx["a"]["target"])
+        # impossible window -> null entry (reference emits null scenes)
+        cfg2 = IndexGeneratorCfg(
+            min_overlap=1.5, max_overlap=2.0,
+            min_distance=55, output_path=tmp_path / "idx2.json",
+        )
+        idx2 = generate_index(cfg2, {"a": (extr, intr)}, seed=0)
+        assert idx2["a"] is None
+
+    def test_cli_roundtrip(self, tmp_path, capsys):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_data import make_chunk
+
+        from pf3plat_tpu.evaluation.index_generator import main as gen_main
+
+        (tmp_path / "test").mkdir()
+        make_chunk(tmp_path / "test" / "000000.torch", n_scenes=1,
+                   n_frames=30, seed=7)
+        gen_main([str(tmp_path), "--out", str(tmp_path / "i.json")])
+        data = json.loads((tmp_path / "i.json").read_text())
+        assert len(data) == 1
