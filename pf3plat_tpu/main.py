@@ -190,6 +190,14 @@ def run_train(cfg) -> None:
     t0 = time.time()
     batch = to_batch(first)
     step = int(state.step)
+    if cfg.train.sanity_validation and step == 0:
+        # Reference `num_sanity_val_steps` — fail fast on broken
+        # visualization/render paths before hours of training.
+        run_validation(
+            cfg, model, jax.device_get(state.params), params.frozen,
+            batch, jax.random.fold_in(rng, 2**30), step,
+            forward_fn=val_forward, decode_fn=val_decode,
+        )
     while step < cfg.max_steps:
         sub = jax.random.fold_in(rng, step)
         batch_full = dict(batch, frozen_params=frozen)

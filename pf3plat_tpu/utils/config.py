@@ -50,6 +50,10 @@ class DataLoaderCfg:
 class TrainCfg:
     print_log_every_n_steps: int = 1
     val_check_interval: int = 20
+    # Run one validation pass before training starts (reference
+    # config/main.yaml `num_sanity_val_steps: 2`; one pass suffices to
+    # catch broken visualization/render paths up front).
+    sanity_validation: bool = True
     # Rasterizer tile-axis size of the (data, tile) device mesh: >1 shards
     # each example's compositing rows across chips (pallas impl only);
     # 1 keeps the pure-DP layout.
