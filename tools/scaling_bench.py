@@ -1,0 +1,115 @@
+"""Measure rasterizer rays/s scaling across mesh layouts.
+
+BASELINE config 5 asks for >=80% linear rays/s scaling; this harness runs
+the bench scene through `render(impl="pallas", mesh=...)` for each mesh
+layout that fits the available devices and reports rays/s + efficiency
+vs the single-device run.
+
+On real multi-chip hardware this is the scaling measurement of record;
+on the 8-virtual-device CPU backend it validates the harness itself
+(absolute numbers are meaningless there — interpret-mode kernels).
+
+Usage: python tools/scaling_bench.py [image_side] [iters]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_scene(h, w, cams):
+    rng = np.random.default_rng(0)
+    n = 2 * h * w
+    xs = rng.uniform(-2, 2, (cams, n))
+    ys = rng.uniform(-2, 2, (cams, n))
+    z = 4.0 + 0.3 * np.sin(3 * xs) * np.cos(2 * ys)
+    means = np.stack([xs, ys, z], axis=-1)
+    cov = np.zeros((cams, n, 3, 3))
+    for i in range(3):
+        cov[..., i, i] = rng.uniform(0.004, 0.012, (cams, n)) ** 2
+    sh = (rng.standard_normal((cams, n, 3, 25)) * 0.2).astype(np.float32)
+    opac = rng.uniform(0.5, 0.95, (cams, n))
+    to = lambda a: jnp.asarray(a, jnp.float32)
+    return dict(
+        extrinsics=to(np.broadcast_to(np.eye(4), (cams, 4, 4))),
+        intrinsics=to(np.broadcast_to(
+            np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]),
+            (cams, 3, 3))),
+        near=jnp.ones((cams,)), far=jnp.full((cams,), 100.0),
+        background=jnp.zeros((cams, 3)),
+        means=to(means), covariances=to(cov), sh=to(sh), opacities=to(opac),
+    )
+
+
+def measure(scene, h, w, mesh, iters):
+    from pf3plat_tpu.ops.rasterizer import RasterizeConfig, render
+
+    cfg = RasterizeConfig()
+    target = jnp.zeros((scene["means"].shape[0], h, w, 3))
+
+    def loss(means):
+        img = render(
+            scene["extrinsics"], scene["intrinsics"], scene["near"],
+            scene["far"], (h, w), scene["background"], means,
+            scene["covariances"], scene["sh"], scene["opacities"],
+            impl="pallas", config=cfg, mesh=mesh,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    step = jax.jit(jax.grad(loss))
+    g = step(scene["means"])
+    np.asarray(g).ravel()[:1]
+    t0 = time.time()
+    for _ in range(iters):
+        g = step(scene["means"])
+    np.asarray(g).ravel()[:1]
+    dt = (time.time() - t0) / iters
+    return scene["means"].shape[0] * h * w / dt / 1e6
+
+
+def main() -> None:
+    from pf3plat_tpu.parallel import MeshCfg, make_mesh
+
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    h = w = side
+    n_dev = len(jax.devices())
+    cams = 2
+    scene = make_scene(h, w, cams)
+
+    layouts = [None]
+    k = 2
+    while k <= n_dev:
+        layouts.append(k)
+        k *= 2
+
+    results = []
+    base = None
+    for tile in layouts:
+        mesh = None
+        if tile is not None:
+            mesh = make_mesh(
+                MeshCfg(data_axis=1, tile_axis=tile),
+                devices=jax.devices()[:tile],
+            )
+        mrays = measure(scene, h, w, mesh, iters)
+        n = 1 if tile is None else tile
+        if base is None:
+            base = mrays
+        eff = mrays / (base * n)
+        results.append({
+            "devices": n, "mrays_per_s": round(mrays, 3),
+            "scaling_efficiency": round(eff, 4),
+        })
+        print(json.dumps(results[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
