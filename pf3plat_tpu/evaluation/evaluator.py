@@ -222,6 +222,15 @@ class Evaluator:
                     agg[key] = float(np.mean(vals))
                     if key == "rot_deg":
                         agg["rot_deg_median"] = float(np.median(vals))
+            pose_errs = [
+                max(r["rot_deg"], r["trans_angle_deg"])
+                for r in rs
+                if "rot_deg" in r and "trans_angle_deg" in r
+            ]
+            if pose_errs:
+                from ..training.metrics import pose_auc
+
+                agg.update(pose_auc(pose_errs))
             agg["count"] = len(rs)
             summary[bucket] = agg
         (self.cfg.output_path / "scores_all_avg.json").write_text(

@@ -113,3 +113,32 @@ class TestTrainStep:
         # per-step RANSAC resampling, so total loss is not monotone).
         assert mses[-1] < mses[0], f"mse did not decrease: {mses}"
         assert int(state.step) == 8
+
+
+class TestPoseAUC:
+    def test_exact_values(self):
+        from pf3plat_tpu.training.metrics import pose_auc
+
+        # All errors zero -> recall 1 everywhere -> AUC 1 at any threshold.
+        out = pose_auc([0.0, 0.0, 0.0])
+        assert out == {"auc_5": 1.0, "auc_10": 1.0, "auc_20": 1.0}
+
+        # All errors above every threshold -> AUC 0.
+        out = pose_auc([50.0, 60.0])
+        for v in out.values():
+            assert v == 0.0
+
+        # Standard (SuperGlue-style) trapezoid over the recall curve:
+        # single error 2 at t=5 -> points (0,0),(2,1),(5,1) -> (1+3)/5.
+        out = pose_auc([2.0], thresholds=(5.0,))
+        np.testing.assert_allclose(out["auc_5"], 0.8)
+
+        # Errors 2, 8 at t=10 -> (0,0),(2,.5),(8,1),(10,1) ->
+        # (0.5 + 4.5 + 2) / 10.
+        out = pose_auc([2.0, 8.0], thresholds=(10.0,))
+        np.testing.assert_allclose(out["auc_10"], 0.7)
+
+    def test_empty(self):
+        from pf3plat_tpu.training.metrics import pose_auc
+
+        assert pose_auc([]) == {"auc_5": 0.0, "auc_10": 0.0, "auc_20": 0.0}
