@@ -40,6 +40,10 @@ class DatasetCfg:
     augment: bool = True
     skip_bad_shape: bool = True
     original_image_shape: tuple[int, int] = (360, 640)
+    # Debug: restrict iteration to one scene key (reference
+    # `dataset.overfit_to_scene`, config/main.yaml) — each pass over the
+    # data yields just that scene, so training overfits it.
+    overfit_to_scene: Optional[str] = None
 
 
 def convert_poses(poses: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -170,8 +174,10 @@ class ChunkDataset:
         (`src/dataset/data_module.py:90-110`).
         """
         cfg = self.cfg
-        extrinsics, intrinsics = convert_poses(ex["cameras"])
         scene = ex["key"]
+        if cfg.overfit_to_scene is not None and scene != cfg.overfit_to_scene:
+            return None
+        extrinsics, intrinsics = convert_poses(ex["cameras"])
         try:
             ctx_idx, tgt_idx = self.view_sampler.sample(
                 scene, extrinsics.shape[0], self.rng, global_step

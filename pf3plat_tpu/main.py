@@ -123,6 +123,13 @@ def run_train(cfg) -> None:
     opt = make_optimizer(cfg.optimizer)
     state = init_train_state(params.trainable, opt)
     ckpt = CheckpointManager(cfg.checkpointing)
+    # restore_latest may warm-start from checkpointing.load, which also
+    # carries that run's frozen/ dir — so resolve state BEFORE deciding
+    # whether frozen weights exist.
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
     had_frozen = ckpt.has_frozen()
     ckpt.save_frozen(params.frozen)
     if had_frozen:
@@ -130,10 +137,6 @@ def run_train(cfg) -> None:
         # or first-init), not a fresh re-init — otherwise a resumed run
         # silently trains against different frozen features.
         params = params._replace(frozen=ckpt.restore_frozen(params.frozen))
-    restored = ckpt.restore_latest(state)
-    if restored is not None:
-        state = restored
-        print(f"resumed from step {int(state.step)}")
 
     step_fn = jax.jit(
         make_model_train_step(

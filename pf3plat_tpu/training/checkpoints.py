@@ -25,6 +25,11 @@ class CheckpointCfg:
     directory: Path = Path("checkpoints")
     every_n_steps: int = 10_000
     keep: int = 5
+    # Warm-start: another run's checkpoint directory to restore from when
+    # this run has no state of its own (reference `checkpointing.load`,
+    # `config/main.yaml`). Training continues from the loaded step into
+    # this run's directory.
+    load: Optional[Path] = None
 
 
 class CheckpointManager:
@@ -46,9 +51,11 @@ class CheckpointManager:
 
     def save_frozen(self, frozen_params: Any) -> None:
         if not self._frozen_dir.exists():
-            ocp.StandardCheckpointer().save(
-                self._frozen_dir, frozen_params
-            )
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(self._frozen_dir, frozen_params)
+            # StandardCheckpointer saves asynchronously; block so has_frozen()
+            # (and an early crash) can't observe a half-written directory.
+            ckptr.wait_until_finished()
 
     def restore_frozen(self, template: Any) -> Any:
         return ocp.StandardCheckpointer().restore(
@@ -60,8 +67,27 @@ class CheckpointManager:
         return self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        """Latest state of this run; falls back to `cfg.load` (warm start)."""
         step = self._mgr.latest_step()
         if step is None:
+            if self.cfg.load is not None:
+                other = CheckpointManager(
+                    dataclasses.replace(self.cfg, load=None,
+                                        directory=Path(self.cfg.load))
+                )
+                state = other.restore_latest(template)
+                if state is None:
+                    raise FileNotFoundError(
+                        f"checkpointing.load={self.cfg.load} has no state"
+                    )
+                if other.has_frozen() and not self.has_frozen():
+                    # carry the source run's frozen perception weights too
+                    ckptr = ocp.StandardCheckpointer()
+                    ckptr.save(
+                        self._frozen_dir, ckptr.restore(other._frozen_dir)
+                    )
+                    ckptr.wait_until_finished()
+                return state
             return None
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 

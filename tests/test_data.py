@@ -241,3 +241,23 @@ class TestChunkDataset:
         d1 = ChunkDataset(cfg, s, stage="train", host_id=1, num_hosts=2)
         assert len(d0.chunks) == 2 and len(d1.chunks) == 2
         assert set(d0.chunks).isdisjoint(d1.chunks)
+
+
+class TestOverfitAndWarmstart:
+    def test_overfit_to_scene(self, tmp_path):
+        train_dir = tmp_path / "train"
+        train_dir.mkdir()
+        make_chunk(train_dir / "000000.torch", n_scenes=3, seed=0)
+        cfg = DatasetCfg(
+            roots=[tmp_path], image_shape=(64, 64),
+            original_image_shape=(72, 128),
+            overfit_to_scene="scene_1_0",
+        )
+        sampler = BoundedViewSampler(BoundedSamplerCfg(
+            num_target_views=2,
+            min_distance_between_context_views=10,
+            max_distance_between_context_views=20,
+        ))
+        ds = ChunkDataset(cfg, sampler, stage="train", seed=0)
+        scenes = {ex["scene"] for ex in ds.examples(global_step=0)}
+        assert scenes == {"scene_1_0"}

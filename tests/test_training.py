@@ -142,3 +142,61 @@ class TestPoseAUC:
         from pf3plat_tpu.training.metrics import pose_auc
 
         assert pose_auc([]) == {"auc_5": 0.0, "auc_10": 0.0, "auc_20": 0.0}
+
+
+class TestCheckpointWarmStart:
+    def test_load_from_other_run(self, tmp_path):
+        import optax
+
+        from pf3plat_tpu.training.checkpoints import (
+            CheckpointCfg, CheckpointManager,
+        )
+        from pf3plat_tpu.training.train import TrainState
+
+        params = {"w": jnp.arange(4.0)}
+        opt = optax.sgd(0.1)
+        state = TrainState(params, opt.init(params), jnp.asarray(7))
+
+        src = CheckpointManager(CheckpointCfg(
+            directory=tmp_path / "src", every_n_steps=1, keep=1,
+        ))
+        src.save_frozen({"f": jnp.ones(2) * 3})
+        src.maybe_save(jax.device_get(state))
+        src.wait()
+
+        template = TrainState(
+            {"w": jnp.zeros(4)}, opt.init({"w": jnp.zeros(4)}),
+            jnp.asarray(0),
+        )
+        dst = CheckpointManager(CheckpointCfg(
+            directory=tmp_path / "dst", every_n_steps=1, keep=1,
+            load=tmp_path / "src",
+        ))
+        restored = dst.restore_latest(template)
+        assert restored is not None
+        assert int(restored.step) == 7
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   np.arange(4.0))
+        # frozen weights carried into the new run's directory
+        assert dst.has_frozen()
+        frozen = dst.restore_frozen({"f": jnp.zeros(2)})
+        np.testing.assert_allclose(np.asarray(frozen["f"]), 3.0)
+
+    def test_load_missing_raises(self, tmp_path):
+        import optax
+
+        from pf3plat_tpu.training.checkpoints import (
+            CheckpointCfg, CheckpointManager,
+        )
+        from pf3plat_tpu.training.train import TrainState
+
+        opt = optax.sgd(0.1)
+        template = TrainState(
+            {"w": jnp.zeros(2)}, opt.init({"w": jnp.zeros(2)}),
+            jnp.asarray(0),
+        )
+        dst = CheckpointManager(CheckpointCfg(
+            directory=tmp_path / "dst", load=tmp_path / "nonexistent",
+        ))
+        with pytest.raises(FileNotFoundError):
+            dst.restore_latest(template)
