@@ -148,8 +148,15 @@ class ChunkDataset:
     def __iter__(self) -> Iterator[Example]:
         return self.examples(global_step=0)
 
-    def examples(self, global_step: int = 0) -> Iterator[Example]:
-        cfg = self.cfg
+    def plans(self, get_step) -> Iterator[tuple[dict, dict]]:
+        """One epoch of (raw example, sampled plan) pairs.
+
+        The single RNG-consuming walk shared by the synchronous path below
+        and the worker-pool path (`data/prefetch.py`) — both consume the
+        random stream identically, so results are worker-count independent.
+        `get_step` is read per example (prefetching may sample slightly
+        ahead of the true step, like the reference's loader workers).
+        """
         order = (
             self.rng.permutation(len(self.chunks))
             if self.stage == "train"
@@ -160,9 +167,15 @@ class ChunkDataset:
             if self.stage == "train":
                 chunk = [chunk[i] for i in self.rng.permutation(len(chunk))]
             for ex in chunk:
-                result = self._build_example(ex, global_step)
-                if result is not None:
-                    yield result
+                plan = self._sample_example(ex, get_step())
+                if plan is not None:
+                    yield ex, plan
+
+    def examples(self, global_step: int = 0) -> Iterator[Example]:
+        for ex, plan in self.plans(lambda: global_step):
+            result = self._realize_example(ex, plan)
+            if result is not None:
+                yield result
 
     def _sample_example(self, ex: dict, global_step: int) -> Optional[dict]:
         """RNG-consuming phase: view sampling + augmentation seed draw.

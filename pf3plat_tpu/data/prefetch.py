@@ -26,7 +26,7 @@ import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
-from .dataset import ChunkDataset, load_chunk
+from .dataset import ChunkDataset
 from .types import Example
 
 
@@ -82,7 +82,7 @@ class ExamplePipeline:
             return fut.result()  # re-raises worker exceptions here
 
         try:
-            for raw_ex, plan in self._plans():
+            for raw_ex, plan in ds.plans(self.get_step):
                 if self._closed.is_set():
                     return
                 pending.append(
@@ -99,20 +99,3 @@ class ExamplePipeline:
         finally:
             for fut in pending:
                 fut.cancel()
-
-    def _plans(self):
-        """Sequential chunk walk + sample phase (owns the dataset RNG)."""
-        ds = self.dataset
-        order = (
-            ds.rng.permutation(len(ds.chunks))
-            if ds.stage == "train"
-            else range(len(ds.chunks))
-        )
-        for ci in order:
-            chunk = load_chunk(ds.chunks[ci])
-            if ds.stage == "train":
-                chunk = [chunk[i] for i in ds.rng.permutation(len(chunk))]
-            for ex in chunk:
-                plan = ds._sample_example(ex, self.get_step())
-                if plan is not None:
-                    yield ex, plan

@@ -64,6 +64,7 @@ class Evaluator:
         self.records: list[dict] = []
         cfg.output_path.mkdir(parents=True, exist_ok=True)
         self._metrics_file = (cfg.output_path / "metrics.txt").open("a")
+        self._video_decode = None  # jitted chunk decoder, built lazily
 
         self._forward = jax.jit(
             lambda p, images, intr, near, far, rng: model.forward(
@@ -187,22 +188,34 @@ class Evaluator:
             "wobble": generate_wobble(c2w[0], delta, t),
             "interpolation": interpolate_extrinsics(c2w[0], c2w[-1], t),
         }
-        dec_cfg = self.model.cfg.decoder
+        # One jitted fixed-shape 6-frame chunk decode, reused across chunks,
+        # trajectories, and examples (eager decode over a relay backend costs
+        # one round-trip per primitive; odd tails are padded to keep the
+        # shape cacheable).
+        f = 6
+        if self._video_decode is None:
+            dec_cfg = self.model.cfg.decoder
+            shape = tuple(enc.depths.shape[2:4])
+            self._video_decode = jax.jit(
+                lambda g, traj, k, nr, fr: decode(
+                    dec_cfg, g, traj, k, nr, fr, shape
+                ).color
+            )
+        intr_f = jnp.broadcast_to(intr[:, :1], (1, f, 3, 3))
+        near_f = jnp.broadcast_to(near[:, :1], (1, f))
+        far_f = jnp.broadcast_to(far[:, :1], (1, f))
         for name, traj in trajs.items():
+            pad = (-traj.shape[0]) % f
+            if pad:
+                traj = jnp.concatenate([traj, traj[-1:].repeat(pad, 0)], 0)
             frames = []
-            for s in range(0, self.cfg.video_frames, 6):
-                chunk = traj[s : s + 6][None]  # (1, f, 4, 4)
-                f = chunk.shape[1]
-                out = decode(
-                    dec_cfg, enc.gaussians, chunk,
-                    jnp.broadcast_to(intr[:, :1], (1, f, 3, 3)),
-                    jnp.broadcast_to(near[:, :1], (1, f)),
-                    jnp.broadcast_to(far[:, :1], (1, f)),
-                    enc.depths.shape[2:4],
+            for s in range(0, traj.shape[0], f):
+                color = self._video_decode(
+                    enc.gaussians, traj[s : s + f][None], intr_f, near_f, far_f
                 )
-                frames += [np.asarray(img) for img in out.color[0]]
+                frames += [np.asarray(img) for img in color[0]]
             save_video(
-                frames,
+                frames[: self.cfg.video_frames],
                 self.cfg.output_path / "video" / f"{step_idx:06}_{name}.mp4",
             )
 

@@ -197,7 +197,7 @@ def run_train(cfg) -> None:
         # Reference `num_sanity_val_steps` — fail fast on broken
         # visualization/render paths before hours of training.
         run_validation(
-            cfg, model, jax.device_get(state.params), params.frozen,
+            cfg, model, state.params, params.frozen,
             batch, jax.random.fold_in(rng, 2**30), step,
             forward_fn=val_forward, decode_fn=val_decode,
         )
@@ -207,7 +207,8 @@ def run_train(cfg) -> None:
         state, aux = step_fn(state, batch_full, sub)
         step += 1
         step_holder["step"] = step
-        batch = next_batch()  # overlaps with the device step
+        if step < cfg.max_steps:
+            batch = next_batch()  # overlaps with the device step
         if step % cfg.train.print_log_every_n_steps == 0:
             np.asarray(aux["loss"])  # sync
             dt = time.time() - t0
@@ -219,13 +220,19 @@ def run_train(cfg) -> None:
                 flush=True,
             )
         if step % cfg.train.val_check_interval == 0:
+            # state.params stays on device — val_forward is jitted and a
+            # host round-trip of the full trainable tree per validation
+            # would stall the loop.
             run_validation(
-                cfg, model, jax.device_get(state.params), params.frozen,
+                cfg, model, state.params, params.frozen,
                 batch, jax.random.fold_in(rng, 2**30 + step), step,
                 forward_fn=val_forward, decode_fn=val_decode,
             )
-        if step % cfg.checkpointing.every_n_steps == 0 or step >= cfg.max_steps:
-            ckpt.maybe_save(jax.device_get(state))
+        final = step >= cfg.max_steps
+        if step % cfg.checkpointing.every_n_steps == 0 or final:
+            # orbax's interval policy silently skips off-interval steps, so
+            # the final step must be forced or short runs end checkpoint-less.
+            ckpt.maybe_save(jax.device_get(state), force=final)
     ckpt.wait()
 
 
@@ -331,8 +338,12 @@ def run_test(cfg) -> None:
         ),
         model, params, lpips_apply=lpips_apply,
     )
+    import itertools
+
     idx = 0
-    for raw in [first] + list(batches):
+    # Stream examples — materializing the whole split up front would hold
+    # the full test set (tens of GB on real RE10K) in host memory.
+    for raw in itertools.chain([first], batches):
         rng, sub = jax.random.split(rng)
         rec = evaluator.run_example(raw, sub, idx)
         print(f"[{idx}] {rec}", flush=True)

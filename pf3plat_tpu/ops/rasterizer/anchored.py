@@ -604,6 +604,15 @@ def _make_anchored_composite(
         # 4*cap keys feed the in-VMEM bitonic network, which needs a
         # power-of-two length (the roll-based exchanges wrap otherwise).
         raise ValueError("anchor_capacity must be a power of two >= 128")
+    if cap > 1024:
+        # The packed sort key reserves 12 bits for the slot index
+        # ((dbits & ~0xFFF) | slot with slot < 4*cap); beyond 1024 the slot
+        # would overflow into the depth bits and silently corrupt both the
+        # depth ordering and the permutation indices.
+        raise ValueError(
+            "anchor_capacity must be <= 1024 (12-bit slot field in the "
+            f"packed depth|slot sort key); got {cap}"
+        )
     n_rows = 4 * cap // 128
     p = config.tile_size**2
     total = batch * num_tiles

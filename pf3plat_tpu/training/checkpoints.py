@@ -62,9 +62,14 @@ class CheckpointManager:
             self._frozen_dir, target=template
         )
 
-    def maybe_save(self, state: TrainState) -> bool:
+    def maybe_save(self, state: TrainState, force: bool = False) -> bool:
+        """Save if the step is on the interval; `force=True` saves regardless
+        (orbax's interval policy silently skips off-interval steps — the
+        final step of a run must be forced)."""
         step = int(state.step)
-        return self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
 
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
         """Latest state of this run; falls back to `cfg.load` (warm start)."""
