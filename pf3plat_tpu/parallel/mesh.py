@@ -46,10 +46,25 @@ def make_mesh(cfg: MeshCfg = MeshCfg(), devices=None) -> Mesh:
     return Mesh(devices.reshape(data, cfg.tile_axis), ("data", "tile"))
 
 
-def initialize_multihost(coordinator: Optional[str] = None) -> None:
-    """Multi-host setup (call once per process before device use)."""
-    if jax.process_count() > 1 or coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator)
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host setup (call once per process before device use).
+
+    On TPU pods the cluster is auto-detected (all args None); for explicit
+    clusters (or the 2-process CPU smoke test in tests/test_multihost.py)
+    pass coordinator "host:port" + num_processes + process_id.
+    """
+    if coordinator is not None or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif jax.process_count() > 1:
+        jax.distributed.initialize()
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
