@@ -58,14 +58,22 @@ def _tri_suffix(c: int, dtype) -> Array:
     return (col > row).astype(dtype)
 
 
-def _chunk_alpha(data, px, py, config):
-    """Alpha block (C, P) + residuals from one chunk's feature rows (F, C)."""
-    x0 = data[0, :][:, None]      # (C, 1)
-    y0 = data[1, :][:, None]
-    ca = data[2, :][:, None]
-    cb = data[3, :][:, None]
-    cc = data[4, :][:, None]
-    op = data[5, :][:, None]
+def _chunk_alpha(data, px, py, config, slot_major=False):
+    """Alpha block (C, P) + residuals from one chunk's features.
+
+    `data` is (F, C) for the f_major table layout, (C, F) for slot_major —
+    the same math either way, only the column/row extracts differ.
+    """
+    if slot_major:
+        col = lambda k: data[:, k][:, None]   # (C, 1)
+    else:
+        col = lambda k: data[k, :][:, None]
+    x0 = col(0)
+    y0 = col(1)
+    ca = col(2)
+    cb = col(3)
+    cc = col(4)
+    op = col(5)
     dx = px - x0                  # (C, P)
     dy = py - y0
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -118,11 +126,19 @@ def _fwd_kernel(
     count = counts_ref[pl.program_id(0)]
     l_incl = _tri_incl(c, dtype)
 
+    slot_major = config.table_layout == "slot_major"
+
     def chunk_body(i):
         start = pl.multiple_of(i * c, c)
-        data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
-        alpha, _, _, _, _ = _chunk_alpha(data, px, py, config)
-        color = data[6 : 6 + channels, :]        # (ch, C)
+        if slot_major:
+            data = table_ref[0, pl.ds(start, c), :]  # (C, F_pad)
+            color = data[:, 6 : 6 + channels]        # (C, ch)
+            color_dims = (((0,), (0,)), ((), ()))    # contract C -> (ch, P)
+        else:
+            data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
+            color = data[6 : 6 + channels, :]        # (ch, C)
+            color_dims = (((1,), (0,)), ((), ()))
+        alpha, _, _, _, _ = _chunk_alpha(data, px, py, config, slot_major)
 
         tchk_ref[0, i, :] = tcar[0, :]
         s = jnp.log1p(-alpha)                    # (C, P)
@@ -136,7 +152,7 @@ def _fwd_kernel(
         t_before = t_after / one_m               # exp(incl - s) without the exp
         w = jnp.where(alive, t_before * alpha, 0.0)  # (C, P)
         accum[...] += jax.lax.dot_general(
-            color, w, (((1,), (0,)), ((), ())),
+            color, w, color_dims,
             preferred_element_type=jnp.float32,
         )
         # Frozen-at-first-dead transmittance without another exp: the LAST
@@ -201,6 +217,7 @@ def _bwd_kernel(
     count = counts_ref[pl.program_id(0)]
     l_incl = _tri_incl(c, dtype)
     u_suf = _tri_suffix(c, dtype)
+    slot_major = config.table_layout == "slot_major"
 
     def body(k, _):
         i = n_chunks - 1 - k
@@ -210,9 +227,17 @@ def _bwd_kernel(
         @pl.when((i * c < count) & (jnp.max(tchk_ref[0, i, :]) > 0.0))
         def _():
             start = pl.multiple_of(i * c, c)
-            data = table_ref[0, :, pl.ds(start, c)]
-            alpha, dx, dy, gexp, unclamped = _chunk_alpha(data, px, py, config)
-            color = data[6 : 6 + channels, :]
+            if slot_major:
+                data = table_ref[0, pl.ds(start, c), :]  # (C, F_pad)
+                color = data[:, 6 : 6 + channels]        # (C, ch)
+                cg_dims = (((1,), (0,)), ((), ()))       # (C,ch)x(ch,P)->(C,P)
+            else:
+                data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
+                color = data[6 : 6 + channels, :]        # (ch, C)
+                cg_dims = (((0,), (0,)), ((), ()))
+            alpha, dx, dy, gexp, unclamped = _chunk_alpha(
+                data, px, py, config, slot_major
+            )
 
             t_start = tchk_ref[0, i, :][None, :]     # (1, P)
             s = jnp.log1p(-alpha)
@@ -228,7 +253,7 @@ def _bwd_kernel(
 
             # cg[c_i, p] = color_i . g_p
             cg = jax.lax.dot_general(
-                color, g, (((0,), (0,)), ((), ())),
+                color, g, cg_dims,
                 preferred_element_type=jnp.float32,
             )  # (C, P)
             m = w * cg
@@ -243,11 +268,16 @@ def _bwd_kernel(
             )
             dalpha = jnp.where(unclamped, dalpha, 0.0)
 
-            op = data[5, :][:, None]
+            col = (
+                (lambda k: data[:, k][:, None])
+                if slot_major
+                else (lambda k: data[k, :][:, None])
+            )
+            op = col(5)
             dpow = alpha * dalpha
-            ca = data[2, :][:, None]
-            cb = data[3, :][:, None]
-            cc = data[4, :][:, None]
+            ca = col(2)
+            cb = col(3)
+            cc = col(4)
 
             d_op = jnp.sum(gexp * dalpha, axis=1)            # (C,)
             d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1)
@@ -255,19 +285,35 @@ def _bwd_kernel(
             d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=1)
             d_x0 = jnp.sum((ca * dx + cb * dy) * dpow, axis=1)
             d_y0 = jnp.sum((cc * dy + cb * dx) * dpow, axis=1)
-            d_col = jax.lax.dot_general(
-                g, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (ch, C)
 
             sl = pl.ds(start, c)
-            dtab_ref[0, 0, sl] = d_x0
-            dtab_ref[0, 1, sl] = d_y0
-            dtab_ref[0, 2, sl] = d_ca
-            dtab_ref[0, 3, sl] = d_cb
-            dtab_ref[0, 4, sl] = d_cc
-            dtab_ref[0, 5, sl] = d_op
-            dtab_ref[0, 6 : 6 + channels, sl] = d_col
+            if slot_major:
+                d_col = jax.lax.dot_general(
+                    w, g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (C, ch)
+                f_pad = dtab_ref.shape[2]
+                block = jnp.concatenate(
+                    [
+                        d_x0[:, None], d_y0[:, None], d_ca[:, None],
+                        d_cb[:, None], d_cc[:, None], d_op[:, None], d_col,
+                        jnp.zeros((c, f_pad - 6 - channels), d_col.dtype),
+                    ],
+                    axis=1,
+                )  # (C, F_pad)
+                dtab_ref[0, sl, :] = block
+            else:
+                d_col = jax.lax.dot_general(
+                    g, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (ch, C)
+                dtab_ref[0, 0, sl] = d_x0
+                dtab_ref[0, 1, sl] = d_y0
+                dtab_ref[0, 2, sl] = d_ca
+                dtab_ref[0, 3, sl] = d_cb
+                dtab_ref[0, 4, sl] = d_cc
+                dtab_ref[0, 5, sl] = d_op
+                dtab_ref[0, 6 : 6 + channels, sl] = d_col
 
             tail[...] += jnp.sum(m, axis=0, keepdims=True)
 
@@ -302,6 +348,11 @@ def _make_composite(
             "Use chunk=128 (default) or the 'tiled' impl."
         )
 
+    # f_major: table (rows, F, cap); slot_major: table (rows, cap, F_pad)
+    # (the gather's native order — f_dim arrives pre-padded by the caller).
+    slot_major = config.table_layout == "slot_major"
+    table_block = (1, cap, f_dim) if slot_major else (1, f_dim, cap)
+
     fwd_call = pl.pallas_call(
         functools.partial(
             _fwd_kernel, config=config, channels=channels,
@@ -311,7 +362,7 @@ def _make_composite(
             num_scalar_prefetch=2,
             grid=(rows,),
             in_specs=[
-                pl.BlockSpec((1, f_dim, cap), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec(table_block, lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[
@@ -341,7 +392,7 @@ def _make_composite(
             num_scalar_prefetch=2,
             grid=(rows,),
             in_specs=[
-                pl.BlockSpec((1, f_dim, cap), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec(table_block, lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
@@ -349,13 +400,16 @@ def _make_composite(
                 pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, f_dim, cap), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec(table_block, lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((1, p), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((rows, f_dim, cap), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (rows, cap, f_dim) if slot_major else (rows, f_dim, cap),
+                jnp.float32,
+            ),
             jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -432,17 +486,26 @@ def composite_tiles_pallas_batched(
     b = screen.depth.shape[0]
     cap = config.tile_capacity
 
-    # Dense per-tile feature tables, (b*tiles, F, cap). Invalid slots zeroed
-    # so the gather's VJP doesn't leak gradient into gaussian 0.
-    feat = jnp.concatenate(
-        [
-            screen.xy,
-            screen.conic,
-            screen.opacity[..., None],
-            screen.color,
-        ],
-        axis=-1,
-    )  # (b, n, F) with order [x, y, ca, cb, cc, op, color...]
+    # Dense per-tile feature tables. Invalid slots zeroed so the gather's
+    # VJP doesn't leak gradient into gaussian 0.
+    slot_major = config.table_layout == "slot_major"
+    feat_parts = [
+        screen.xy,
+        screen.conic,
+        screen.opacity[..., None],
+        screen.color,
+    ]  # order [x, y, ca, cb, cc, op, color...]
+    if slot_major:
+        # Pad the feature channel to a sublane multiple at the SOURCE (n
+        # rows) so the gather emits the kernel's layout directly — the
+        # gather is index-bound, so the extra channels are free, and the
+        # (rows, cap, F) -> (rows, F, cap) relayout disappears entirely.
+        f_dim = -(-f_dim // 8) * 8
+        pad = f_dim - 6 - channels
+        feat_parts.append(
+            jnp.zeros(screen.color.shape[:-1] + (pad,), screen.color.dtype)
+        )
+    feat = jnp.concatenate(feat_parts, axis=-1)  # (b, n, F)
     # Flat row gather (batched gathers lower poorly on TPU; see binning.py).
     n = feat.shape[1]
     feat_flat = feat.reshape(b * n, f_dim)
@@ -451,7 +514,7 @@ def composite_tiles_pallas_batched(
     gathered = feat_flat[flat_idx].reshape(b * num_tiles, cap, f_dim)
     slot_valid = (binned.indices >= 0).reshape(b * num_tiles, cap, 1)
     gathered = jnp.where(slot_valid, gathered, 0.0)
-    table = gathered.swapaxes(1, 2)
+    table = gathered if slot_major else gathered.swapaxes(1, 2)
 
     interpret = jax.default_backend() != "tpu"
     total = b * num_tiles

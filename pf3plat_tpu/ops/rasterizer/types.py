@@ -51,6 +51,14 @@ class RasterizeConfig:
     # per anchor segment; the compositing tile merges 4 neighbor segments,
     # so its effective capacity is up to 4x this). Must be a multiple of 128.
     anchor_capacity: int = 1024
+    # Dense-table layout fed to the pallas compositor:
+    #   "f_major"    — (rows, F, cap): features on sublanes, slots on lanes;
+    #                  requires an XLA relayout of the gather output
+    #                  ((rows, cap, F) -> (rows, F, cap), unaligned F=9).
+    #   "slot_major" — (rows, cap, F_pad): the gather output order, zero
+    #                  relayout; features sit on (128-padded) lanes inside
+    #                  the kernel. Numerically identical; pick by measuring.
+    table_layout: str = "f_major"
     near_cull: float = 0.2
     dilation: float = 0.3
     alpha_clamp: float = 0.99

@@ -166,6 +166,41 @@ class TestTiledVsBruteforce:
         b = render(**scene, image_shape=(32, 32), impl="tiled", config=fused)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_slot_major_table_layout_matches(self):
+        """The relayout-free slot_major table feeds the identical math —
+        images AND gradients must match the f_major default bit-closely."""
+        rng = np.random.default_rng(9)
+        scene = make_scene(rng, n=96, b=2)
+        cfg_f = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=64)
+        cfg_s = RasterizeConfig(
+            tile_size=16, tile_capacity=256, chunk=64,
+            table_layout="slot_major",
+        )
+
+        def loss(means, cfg):
+            img = render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], (32, 32), scene["background"], means,
+                scene["covariances"], scene["sh"], scene["opacities"],
+                impl="pallas", config=cfg,
+            )
+            return jnp.sum(img**2), img
+
+        (lf, img_f), g_f = jax.value_and_grad(
+            lambda m: loss(m, cfg_f), has_aux=True
+        )(scene["means"])
+        (ls, img_s), g_s = jax.value_and_grad(
+            lambda m: loss(m, cfg_s), has_aux=True
+        )(scene["means"])
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_f), atol=1e-6
+        )
+        # dot orientations differ ((C,ch)x(ch,P) vs (ch,C)x(ch,P)), so grad
+        # accumulation order reassociates — identical math, f32 tolerance.
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(g_f), rtol=1e-4, atol=1e-7
+        )
+
     def test_images_match_nonsquare(self):
         rng = np.random.default_rng(1)
         scene = make_scene(rng, n=64, b=1)
