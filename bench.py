@@ -65,15 +65,20 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
+    import os
+
     cfg = DecoderCfg(
         impl="pallas",
-        raster=RasterizeConfig(tile_size=16, tile_capacity=1024, chunk=128),
+        raster=RasterizeConfig(
+            tile_size=16, tile_capacity=1024, chunk=128,
+            table_layout=os.environ.get(
+                "PF3PLAT_BENCH_TABLE_LAYOUT", "f_major"
+            ),
+        ),
     )
 
     # Optional: exercise the tile-sharded render (PF3PLAT_BENCH_TILE_AXIS=k
     # shards the compositing rows over a k-device mesh; needs k chips).
-    import os
-
     mesh = None
     tile_axis = int(os.environ.get("PF3PLAT_BENCH_TILE_AXIS", "1"))
     if tile_axis > 1:

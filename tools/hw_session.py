@@ -52,6 +52,19 @@ def main() -> None:
             except json.JSONDecodeError:
                 pass
 
+    # 1b. A/B the relayout-free table layout against the default
+    import os
+
+    os.environ["PF3PLAT_BENCH_TABLE_LAYOUT"] = "slot_major"
+    p = run("bench_slot_major", ["bench.py"], timeout=600)
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            try:
+                REPORT["bench_slot_major_json"] = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    del os.environ["PF3PLAT_BENCH_TABLE_LAYOUT"]
+
     # 2. per-op trace of the bench step
     run("trace_fwdbwd", ["tools/profile_trace.py", "fwdbwd", "10"], timeout=600)
 
