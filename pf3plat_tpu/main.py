@@ -210,13 +210,18 @@ def run_train(cfg) -> None:
         if step < cfg.max_steps:
             batch = next_batch()  # overlaps with the device step
         if step % cfg.train.print_log_every_n_steps == 0:
-            np.asarray(aux["loss"])  # sync
+            a = jax.device_get(aux)  # one transfer (also the loop sync)
             dt = time.time() - t0
             t0 = time.time()
+            parts = " ".join(
+                f"{k}={float(v):.5f}"
+                for k, v in sorted(a.items())
+                if k not in ("loss", "psnr", "mse") and np.ndim(v) == 0
+            )
             print(
-                f"step {step}: loss={float(aux['loss']):.5f} "
-                f"psnr={float(aux['psnr']):.2f} "
-                f"mse={float(aux['mse']):.5f} {dt:.2f}s",
+                f"step {step}: loss={float(a['loss']):.5f} "
+                f"psnr={float(a['psnr']):.2f} "
+                f"mse={float(a['mse']):.5f} {parts} {dt:.2f}s",
                 flush=True,
             )
         if step % cfg.train.val_check_interval == 0:

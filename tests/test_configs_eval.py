@@ -145,6 +145,10 @@ class TestModeTestDryRun:
         scores = json.loads((out / "scores_all_avg.json").read_text())
         assert scores["all"]["count"] >= 1
         assert np.isfinite(scores["all"]["psnr"])
+        # pose AUC buckets reported whenever pose errors were recorded
+        if "rot_deg" in scores["all"]:
+            for k in ("auc_5", "auc_10", "auc_20"):
+                assert 0.0 <= scores["all"][k] <= 1.0
         assert (out / "metrics.txt").exists()
         assert list((out / "images" / "pred").glob("*.png"))
         assert list((out / "images" / "gt").glob("*.png"))
