@@ -70,11 +70,12 @@ _FLASH_MIN_TOKENS = 2048
 _FLASH_BLOCK = 512
 
 
-def _flash_self_attention(q: Array, k: Array, v: Array) -> Array:
-    """Pallas TPU flash attention with segment-id padding for arbitrary n.
+def _flash_attention(q: Array, k: Array, v: Array) -> Array:
+    """Pallas TPU flash attention; arbitrary n/m (segment-id padding) and
+    arbitrary head dim (zero-padded to a lane-friendly multiple — zeros in
+    q/k contribute nothing to the logits, padded v channels are sliced off).
 
-    q/k/v: (b, h, n, d). Pads n up to a block multiple; padded tokens carry a
-    different segment id so they never mix with real tokens.
+    q: (b, h, n, d); k/v: (b, h, m, d).
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -83,34 +84,48 @@ def _flash_self_attention(q: Array, k: Array, v: Array) -> Array:
     )
 
     b, h, n, d = q.shape
-    block = min(_FLASH_BLOCK, n)
-    n_pad = -(-n // block) * block
-    pad = n_pad - n
-    scale = d**-0.5
-    qb = jnp.pad(q.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad), (0, 0)))
-    kb = jnp.pad(k.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad), (0, 0)))
-    vb = jnp.pad(v.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad), (0, 0)))
-    ids = (jnp.arange(n_pad) >= n).astype(jnp.int32)[None]  # pad -> segment 1
-    ids = jnp.broadcast_to(ids, (b, n_pad))
+    m = k.shape[-2]
+    scale = d**-0.5  # true head dim, not the padded one
+    d_pad = (-(-d // 64) * 64) - d
+
+    def prep(x, target_n):
+        pad_n = target_n - x.shape[-2]
+        return jnp.pad(
+            x.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad_n), (0, d_pad))
+        )
+
+    bq = min(_FLASH_BLOCK, -(-n // 128) * 128)
+    bk = min(_FLASH_BLOCK, -(-m // 128) * 128)
+    n_pad = -(-n // bq) * bq
+    m_pad = -(-m // bk) * bk
+    qb, kb, vb = prep(q, n_pad), prep(k, m_pad), prep(v, m_pad)
+    q_ids = jnp.broadcast_to(
+        (jnp.arange(n_pad) >= n).astype(jnp.int32)[None], (b, n_pad)
+    )
+    kv_ids = jnp.broadcast_to(
+        # kv pad -> segment 2: never matches a real (0) or padded-q (1) row
+        2 * (jnp.arange(m_pad) >= m).astype(jnp.int32)[None], (b, m_pad)
+    )
     bs = BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block,
-        block_q_dkv=block, block_k_dkv=block,
-        block_q_dq=block, block_k_dq=block, block_k_major_dq=block,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_q_dkv=bq, block_k_dkv=bk,
+        block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk,
     )
     out = flash_attention(
-        qb, kb, vb, segment_ids=SegmentIds(ids, ids), causal=False,
+        qb, kb, vb, segment_ids=SegmentIds(q_ids, kv_ids), causal=False,
         sm_scale=scale, block_sizes=bs,
     )
-    return out[:, :, :n].astype(q.dtype)
+    return out[:, :, :n, :d].astype(q.dtype)
 
 
 def scaled_dot_attention(q: Array, k: Array, v: Array, mask=None) -> Array:
     """(..., heads, n, d) attention; bf16 MXU inputs, fp32 accumulation.
 
-    Large unmasked self-attention dispatches to the Pallas TPU flash kernel
-    (never materializes the n^2 logits); everything else uses the einsum
-    path, which XLA fuses well at small n.
+    Large unmasked attention dispatches to the Pallas TPU flash kernel
+    (never materializes the n*m logits — the pose stacks' score tensors
+    are the encoder's dominant HBM traffic, ~0.5 GB/layer at 4k tokens);
+    everything else uses the einsum path, which XLA fuses well at small n.
     """
     import os
 
@@ -118,16 +133,16 @@ def scaled_dot_attention(q: Array, k: Array, v: Array, mask=None) -> Array:
     if (
         os.environ.get("PF3PLAT_FLASH_ATTENTION") == "1"
         and mask is None
-        and n == m
-        and n >= _FLASH_MIN_TOKENS
+        and min(n, m) >= _FLASH_MIN_TOKENS
         and q.ndim == 4
-        and q.shape[-1] % 64 == 0
         and jax.default_backend() == "tpu"
     ):
-        # Opt-in: avoids materializing the n^2 logits (0.5 GB/layer at 4k
-        # tokens) but compiles ~10x slower through the remote-compile
-        # tunnel and is only break-even in runtime at PF3plat's shapes.
-        return _flash_self_attention(q, k, v)
+        # Opt-in pending hardware A/B: compiles ~10x slower through the
+        # remote-compile tunnel; round-1 runtime was break-even, but that
+        # measurement never covered the pose stacks (their head dim 32
+        # failed the old d % 64 == 0 gate, so flash never engaged where
+        # the traffic actually is).
+        return _flash_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     sim = mxu_einsum("...id,...jd->...ij", q * scale, k)
     if mask is not None:

@@ -71,8 +71,11 @@ def main() -> None:
     # 3. stage microbenches
     run("microbench", ["tools/microbench.py"], timeout=600)
 
-    # 4. encoder profile
+    # 4. rasterizer stage profile
     run("profile_raster", ["tools/profile_raster.py"], timeout=600)
+
+    # 5. flash-attention parity + perf at pose-stack shapes
+    run("flash_check", ["tools/flash_check.py", "4097", "10"], timeout=600)
 
     Path("/tmp/pf3plat_hw_report.json").write_text(json.dumps(REPORT, indent=2))
     print("\nreport -> /tmp/pf3plat_hw_report.json", flush=True)
