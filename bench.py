@@ -31,8 +31,13 @@ def main() -> None:
     from pf3plat_tpu.models.types import Gaussians
     from pf3plat_tpu.ops.rasterizer import RasterizeConfig
 
+    import os
+
     rng = np.random.default_rng(0)
-    b, v, h, w = 1, 2, 256, 256
+    # PF3PLAT_BENCH_SIDE shrinks the scene for CPU smoke tests of this
+    # script; the driver's metric of record is the default 256.
+    side = int(os.environ.get("PF3PLAT_BENCH_SIDE", "256"))
+    b, v, h, w = 1, 2, side, side
     n = 2 * h * w  # one gaussian per pixel of 2 context views
 
     # Surface-aligned scene (PF3plat's actual workload): pixel-aligned
@@ -65,12 +70,12 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
-    import os
-
     cfg = DecoderCfg(
         impl="pallas",
         raster=RasterizeConfig(
-            tile_size=16, tile_capacity=1024, chunk=128,
+            tile_size=16,
+            tile_capacity=1024 if side >= 256 else 256,
+            chunk=128,
             table_layout=os.environ.get(
                 "PF3PLAT_BENCH_TABLE_LAYOUT", "f_major"
             ),

@@ -304,3 +304,28 @@ class TestIndexGenerator:
         gen_main([str(tmp_path), "--out", str(tmp_path / "i.json")])
         data = json.loads((tmp_path / "i.json").read_text())
         assert len(data) == 1
+
+
+@pytest.mark.slow
+class TestBenchScript:
+    def test_bench_runs_reduced_scale(self, capsys):
+        """bench.py is the driver's round-end metric of record — protect it
+        from API drift by running it end-to-end at reduced scale on CPU."""
+        import importlib.util
+        import os
+
+        os.environ["PF3PLAT_BENCH_SIDE"] = "48"
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "bench", Path(__file__).resolve().parent.parent / "bench.py"
+            )
+            m = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(m)
+            m.main()
+        finally:
+            del os.environ["PF3PLAT_BENCH_SIDE"]
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        assert rec["unit"] == "Mrays/s/chip"
+        assert rec["value"] > 0
