@@ -70,17 +70,16 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
-    cfg = DecoderCfg(
-        impl="pallas",
-        raster=RasterizeConfig(
-            tile_size=16,
-            tile_capacity=1024 if side >= 256 else 256,
-            chunk=128,
-            table_layout=os.environ.get(
-                "PF3PLAT_BENCH_TABLE_LAYOUT", "f_major"
+    def make_cfg(layout):
+        return DecoderCfg(
+            impl="pallas",
+            raster=RasterizeConfig(
+                tile_size=16,
+                tile_capacity=1024 if side >= 256 else 256,
+                chunk=128,
+                table_layout=layout,
             ),
-        ),
-    )
+        )
 
     # Optional: exercise the tile-sharded render (PF3PLAT_BENCH_TILE_AXIS=k
     # shards the compositing rows over a k-device mesh; needs k chips).
@@ -94,22 +93,39 @@ def main() -> None:
             devices=jax.devices()[:tile_axis],
         )
 
-    def loss_fn(g):
-        out = decode(cfg, g, extr, intr, near, far, (h, w), mesh=mesh)
-        return jnp.mean((out.color - target) ** 2)
+    def make_step(layout):
+        cfg = make_cfg(layout)
 
-    step = jax.jit(jax.grad(loss_fn))
+        def loss_fn(g):
+            out = decode(cfg, g, extr, intr, near, far, (h, w), mesh=mesh)
+            return jnp.mean((out.color - target) ** 2)
 
-    # Warm up (compile).
-    g = step(gauss)
-    np.asarray(g.means).ravel()[:1]
+        return jax.jit(jax.grad(loss_fn))
 
-    iters = 30
-    t0 = time.time()
-    for _ in range(iters):
+    def measure(step, iters):
         g = step(gauss)
-    np.asarray(g.means).ravel()[:1]  # forced sync (block_until_ready lies)
-    dt = (time.time() - t0) / iters
+        np.asarray(g.means).ravel()[:1]  # compile + sync
+        t0 = time.time()
+        for _ in range(iters):
+            g = step(gauss)
+        np.asarray(g.means).ravel()[:1]  # forced sync (block_until_ready lies)
+        return (time.time() - t0) / iters
+
+    # Auto-select the faster of the two numerically-identical table layouts
+    # (parity pinned by tests/test_rasterizer.py); env var forces one.
+    forced = os.environ.get("PF3PLAT_BENCH_TABLE_LAYOUT")
+    if forced:
+        candidates = [forced]
+    else:
+        candidates = ["f_major", "slot_major"]
+    steps = {lay: make_step(lay) for lay in candidates}
+    if len(candidates) > 1:
+        probe = {lay: measure(s, 8) for lay, s in steps.items()}
+        best = min(probe, key=probe.get)
+    else:
+        best = candidates[0]
+
+    dt = measure(steps[best], 30)
 
     rays = b * v * h * w
     mrays = rays / dt / 1e6
@@ -120,6 +136,7 @@ def main() -> None:
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+                "table_layout": best,
             }
         )
     )
