@@ -16,6 +16,7 @@ uses deep pipelining with a final forced host sync.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -70,12 +71,16 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
-    def make_cfg(layout):
+    def make_cfg(layout, tile_size=16):
+        # Capacity scales with tile area so every variant keeps the same
+        # per-pixel truncation behavior (same workload, same output).
+        base_cap = 1024 if side >= 256 else 256
+        cap = base_cap * (tile_size // 16) ** 2
         return DecoderCfg(
             impl="pallas",
             raster=RasterizeConfig(
-                tile_size=16,
-                tile_capacity=1024 if side >= 256 else 256,
+                tile_size=tile_size,
+                tile_capacity=cap,
                 chunk=128,
                 table_layout=layout,
             ),
@@ -93,8 +98,8 @@ def main() -> None:
             devices=jax.devices()[:tile_axis],
         )
 
-    def make_step(layout):
-        cfg = make_cfg(layout)
+    def make_step(layout, tile_size):
+        cfg = make_cfg(layout, tile_size)
 
         def loss_fn(g):
             out = decode(cfg, g, extr, intr, near, far, (h, w), mesh=mesh)
@@ -111,19 +116,27 @@ def main() -> None:
         np.asarray(g.means).ravel()[:1]  # forced sync (block_until_ready lies)
         return (time.time() - t0) / iters
 
-    # Auto-select the faster of the two numerically-identical table layouts
-    # (parity pinned by tests/test_rasterizer.py); env var forces one.
-    forced = os.environ.get("PF3PLAT_BENCH_TABLE_LAYOUT")
-    if forced:
-        candidates = [forced]
-    else:
-        candidates = ["f_major", "slot_major"]
-    steps = {lay: make_step(lay) for lay in candidates}
-    if len(candidates) > 1:
-        probe = {lay: measure(s, 8) for lay, s in steps.items()}
-        best = min(probe, key=probe.get)
-    else:
-        best = candidates[0]
+    # Auto-select among numerically-identical implementation variants
+    # (layout parity and tile-size equivalence pinned by the test suite);
+    # env vars force a specific one. A variant that fails to compile
+    # (e.g. VMEM pressure at large tile sizes) is skipped, not fatal.
+    forced_layout = os.environ.get("PF3PLAT_BENCH_TABLE_LAYOUT")
+    forced_ts = os.environ.get("PF3PLAT_BENCH_TILE_SIZE")
+    layouts = [forced_layout] if forced_layout else ["f_major", "slot_major"]
+    tile_sizes = [int(forced_ts)] if forced_ts else [16, 32]
+
+    probe: dict = {}
+    steps: dict = {}
+    for lay in layouts:
+        for ts in tile_sizes:
+            key = (lay, ts)
+            try:
+                steps[key] = make_step(lay, ts)
+                probe[key] = measure(steps[key], 8)
+            except Exception as e:  # variant failed to compile/run — skip
+                print(f"# variant {key} failed: {type(e).__name__}",
+                      file=sys.stderr, flush=True)
+    best = min(probe, key=probe.get)
 
     dt = measure(steps[best], 30)
 
@@ -136,7 +149,7 @@ def main() -> None:
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-                "table_layout": best,
+                "variant": f"{best[0]}/ts{best[1]}",
             }
         )
     )
