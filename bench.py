@@ -74,8 +74,14 @@ def main() -> None:
     def make_cfg(layout, tile_size=16):
         # Capacity scales with tile area so every variant keeps the same
         # per-pixel truncation behavior (same workload, same output).
+        if tile_size < 16 or tile_size % 16:
+            raise ValueError(
+                f"tile_size must be a multiple of 16 >= 16, got {tile_size} "
+                "(smaller/odd sizes would change capacity per pixel and "
+                "benchmark a different workload)"
+            )
         base_cap = 1024 if side >= 256 else 256
-        cap = base_cap * (tile_size // 16) ** 2
+        cap = base_cap * (tile_size * tile_size) // 256
         return DecoderCfg(
             impl="pallas",
             raster=RasterizeConfig(
@@ -136,23 +142,29 @@ def main() -> None:
             except Exception as e:  # variant failed to compile/run — skip
                 print(f"# variant {key} failed: {type(e).__name__}",
                       file=sys.stderr, flush=True)
+    if not probe:
+        raise RuntimeError(
+            f"every bench variant failed (layouts={layouts}, "
+            f"tile_sizes={tile_sizes}) — see stderr for per-variant errors"
+        )
+    for key, t in sorted(probe.items(), key=lambda kv: kv[1]):
+        print(f"# probe {key[0]}/ts{key[1]}: {t * 1e3:.2f} ms",
+              file=sys.stderr, flush=True)
     best = min(probe, key=probe.get)
 
     dt = measure(steps[best], 30)
 
     rays = b * v * h * w
     mrays = rays / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "rasterizer_fwd_bwd_256x256_2view",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-                "variant": f"{best[0]}/ts{best[1]}",
-            }
-        )
-    )
+    # vs_baseline is only meaningful at the metric-of-record scene size.
+    rec = {
+        "metric": f"rasterizer_fwd_bwd_{side}x{side}_2view",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4) if side == 256 else None,
+        "variant": f"{best[0]}/ts{best[1]}",
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -86,7 +86,10 @@ def _flash_attention(q: Array, k: Array, v: Array) -> Array:
     b, h, n, d = q.shape
     m = k.shape[-2]
     scale = d**-0.5  # true head dim, not the padded one
-    d_pad = (-(-d // 64) * 64) - d
+    # The in-tree kernel accepts head dims <= 128 at 64-granularity but
+    # requires 128-multiples beyond that.
+    d_target = -(-d // 64) * 64 if d <= 128 else -(-d // 128) * 128
+    d_pad = d_target - d
 
     def prep(x, target_n):
         pad_n = target_n - x.shape[-2]

@@ -58,16 +58,25 @@ def _tri_suffix(c: int, dtype) -> Array:
     return (col > row).astype(dtype)
 
 
-def _chunk_alpha(data, px, py, config, slot_major=False):
-    """Alpha block (C, P) + residuals from one chunk's features.
+def _chunk_slices(table_ref, start, c, channels, slot_major):
+    """One chunk's (data, color, per-feature column accessor).
 
-    `data` is (F, C) for the f_major table layout, (C, F) for slot_major —
-    the same math either way, only the column/row extracts differ.
+    data is (F, C) for the f_major table layout, (C, F_pad) for slot_major;
+    col(k) is always (C, 1). The single place layout indexing lives.
     """
     if slot_major:
-        col = lambda k: data[:, k][:, None]   # (C, 1)
-    else:
-        col = lambda k: data[k, :][:, None]
+        data = table_ref[0, pl.ds(start, c), :]
+        return data, data[:, 6 : 6 + channels], (
+            lambda k: data[:, k][:, None]
+        )
+    data = table_ref[0, :, pl.ds(start, c)]
+    return data, data[6 : 6 + channels, :], (
+        lambda k: data[k, :][:, None]
+    )
+
+
+def _chunk_alpha(col, px, py, config):
+    """Alpha block (C, P) + residuals from one chunk's feature columns."""
     x0 = col(0)
     y0 = col(1)
     ca = col(2)
@@ -128,17 +137,15 @@ def _fwd_kernel(
 
     slot_major = config.table_layout == "slot_major"
 
+    # contract over C: slot_major color is (C, ch), f_major (ch, C)
+    color_dims = (
+        (((0,), (0,)), ((), ())) if slot_major else (((1,), (0,)), ((), ()))
+    )
+
     def chunk_body(i):
         start = pl.multiple_of(i * c, c)
-        if slot_major:
-            data = table_ref[0, pl.ds(start, c), :]  # (C, F_pad)
-            color = data[:, 6 : 6 + channels]        # (C, ch)
-            color_dims = (((0,), (0,)), ((), ()))    # contract C -> (ch, P)
-        else:
-            data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
-            color = data[6 : 6 + channels, :]        # (ch, C)
-            color_dims = (((1,), (0,)), ((), ()))
-        alpha, _, _, _, _ = _chunk_alpha(data, px, py, config, slot_major)
+        _, color, col = _chunk_slices(table_ref, start, c, channels, slot_major)
+        alpha, _, _, _, _ = _chunk_alpha(col, px, py, config)
 
         tchk_ref[0, i, :] = tcar[0, :]
         s = jnp.log1p(-alpha)                    # (C, P)
@@ -227,17 +234,16 @@ def _bwd_kernel(
         @pl.when((i * c < count) & (jnp.max(tchk_ref[0, i, :]) > 0.0))
         def _():
             start = pl.multiple_of(i * c, c)
-            if slot_major:
-                data = table_ref[0, pl.ds(start, c), :]  # (C, F_pad)
-                color = data[:, 6 : 6 + channels]        # (C, ch)
-                cg_dims = (((1,), (0,)), ((), ()))       # (C,ch)x(ch,P)->(C,P)
-            else:
-                data = table_ref[0, :, pl.ds(start, c)]  # (F, C)
-                color = data[6 : 6 + channels, :]        # (ch, C)
-                cg_dims = (((0,), (0,)), ((), ()))
-            alpha, dx, dy, gexp, unclamped = _chunk_alpha(
-                data, px, py, config, slot_major
+            _, color, col = _chunk_slices(
+                table_ref, start, c, channels, slot_major
             )
+            # -> (C, P): slot_major (C,ch)x(ch,P); f_major (ch,C)^T x (ch,P)
+            cg_dims = (
+                (((1,), (0,)), ((), ()))
+                if slot_major
+                else (((0,), (0,)), ((), ()))
+            )
+            alpha, dx, dy, gexp, unclamped = _chunk_alpha(col, px, py, config)
 
             t_start = tchk_ref[0, i, :][None, :]     # (1, P)
             s = jnp.log1p(-alpha)
@@ -268,11 +274,6 @@ def _bwd_kernel(
             )
             dalpha = jnp.where(unclamped, dalpha, 0.0)
 
-            col = (
-                (lambda k: data[:, k][:, None])
-                if slot_major
-                else (lambda k: data[k, :][:, None])
-            )
             op = col(5)
             dpow = alpha * dalpha
             ca = col(2)
@@ -350,6 +351,11 @@ def _make_composite(
 
     # f_major: table (rows, F, cap); slot_major: table (rows, cap, F_pad)
     # (the gather's native order — f_dim arrives pre-padded by the caller).
+    if config.table_layout not in ("f_major", "slot_major"):
+        raise ValueError(
+            f"unknown table_layout {config.table_layout!r}; "
+            "expected 'f_major' or 'slot_major'"
+        )
     slot_major = config.table_layout == "slot_major"
     table_block = (1, cap, f_dim) if slot_major else (1, f_dim, cap)
 

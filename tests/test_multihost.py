@@ -86,10 +86,15 @@ def test_two_process_data_parallel(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(out)
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+            outs.append(out)
+    finally:
+        for p in procs:  # don't leak workers if a communicate times out
+            if p.poll() is None:
+                p.kill()
 
     sums = []
     for out in outs:
