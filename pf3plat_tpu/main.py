@@ -185,6 +185,13 @@ def run_train(cfg) -> None:
         )
     )
 
+    # Scalar stream (the reference's wandb.log equivalent): one JSONL row
+    # per log step under the run directory.
+    from .utils.logging import LocalLogger
+
+    log_dir = cfg.output_dir or Path(cfg.test.output_path).parent / "logs"
+    logger = LocalLogger(log_dir)
+
     # Host loop with dispatch/compute overlap: the step counter lives on the
     # host (no per-step device sync), and batch N+1 is decoded while step N
     # runs on device; device_get happens only on checkpoint steps (the
@@ -224,6 +231,11 @@ def run_train(cfg) -> None:
                 f"mse={float(a['mse']):.5f} {parts} {dt:.2f}s",
                 flush=True,
             )
+            logger.log_scalars(
+                step,
+                {k: v for k, v in a.items() if np.ndim(v) == 0}
+                | {"seconds": dt},
+            )
         if step % cfg.train.val_check_interval == 0:
             # state.params stays on device — val_forward is jitted and a
             # host round-trip of the full trainable tree per validation
@@ -238,6 +250,7 @@ def run_train(cfg) -> None:
             # orbax's interval policy silently skips off-interval steps, so
             # the final step must be forced or short runs end checkpoint-less.
             ckpt.maybe_save(jax.device_get(state), force=final)
+    logger.close()
     ckpt.wait()
 
 
