@@ -87,7 +87,7 @@ def synthetic_scene(v=2, b=1, h=32, w=32, hd=8, wd=8, seed=0):
 
 @pytest.mark.slow
 class TestEncoder:
-    @pytest.mark.parametrize("v", [2, 3])
+    @pytest.mark.parametrize("v", [2, 3, 5])
     def test_forward_shapes_and_pose_recovery(self, v):
         cfg = tiny_cfg(v)
         scene = synthetic_scene(v=v)
