@@ -166,6 +166,26 @@ class TestTiledVsBruteforce:
         b = render(**scene, image_shape=(32, 32), impl="tiled", config=fused)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "ts,cap,shape",
+        [(16, 128, (32, 48)), (32, 256, (40, 64)), (16, 512, (64, 64))],
+    )
+    def test_config_space_matches_bruteforce(self, ts, cap, shape):
+        """Oracle parity across tile sizes, capacities, and nonsquare,
+        non-tile-multiple image shapes (BASELINE config 1 robustness)."""
+        rng = np.random.default_rng(ts + cap)
+        scene = make_scene(rng, n=80, b=2)
+        cfg = RasterizeConfig(
+            tile_size=ts, tile_capacity=cap, chunk=min(cap, 64)
+        )
+        ref = render(**scene, image_shape=shape, impl="bruteforce", config=cfg)
+        for impl in ("tiled", "pallas"):
+            img = render(**scene, image_shape=shape, impl=impl, config=cfg)
+            np.testing.assert_allclose(
+                np.asarray(img), np.asarray(ref), atol=1e-5, rtol=1e-4,
+                err_msg=f"{impl} ts={ts} cap={cap} shape={shape}",
+            )
+
     def test_slot_major_table_layout_matches(self):
         """The relayout-free slot_major table feeds the identical math —
         images AND gradients must match the f_major default bit-closely."""
