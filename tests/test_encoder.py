@@ -127,6 +127,33 @@ class TestEncoder:
             got = np.asarray(out.sync_poses[0, k])
             np.testing.assert_allclose(got[:3, 3], true_sync[:3, 3], atol=0.1)
 
+    def test_no_valid_matches_falls_back_finite(self):
+        """SURVEY §5.3 failure fallback: with ZERO valid correspondences the
+        RANSAC solver must fall back to identity pairwise poses and the
+        whole forward must stay finite (reference behavior: cv2 PnP simply
+        fails and the step is skipped; here the fallback keeps training)."""
+        import jax.tree_util as jtu
+
+        cfg = tiny_cfg()
+        scene = synthetic_scene()
+        corr = scene["corr"]._replace(
+            valid=jnp.zeros_like(scene["corr"].valid),
+            scores=jnp.zeros_like(scene["corr"].scores),
+        )
+        model = PoseFreeEncoder(cfg)
+        args = (
+            scene["images"], scene["intrinsics"], scene["near"], scene["far"],
+            scene["frozen"], corr, jnp.asarray(0), jax.random.PRNGKey(0),
+        )
+        params = model.init(jax.random.PRNGKey(1), *args)
+        out = model.apply(params, *args)
+        for leaf in jtu.tree_leaves(out):
+            assert bool(jnp.all(jnp.isfinite(leaf))), "non-finite output"
+        # coarse pairwise poses fell back to identity
+        np.testing.assert_allclose(
+            np.asarray(out.pairwise_poses[0, 0]), np.eye(4), atol=1e-5
+        )
+
     def test_gradients_flow(self):
         cfg = tiny_cfg()
         scene = synthetic_scene()
