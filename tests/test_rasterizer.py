@@ -166,6 +166,31 @@ class TestTiledVsBruteforce:
         b = render(**scene, image_shape=(32, 32), impl="tiled", config=fused)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_all_culled_scene_is_background_with_finite_grads(self):
+        """Every gaussian behind the near plane: image == background and
+        gradients are finite zeros (no NaN from empty tiles)."""
+        rng = np.random.default_rng(4)
+        scene = make_scene(rng, n=32, b=1)
+        means = np.asarray(scene["means"]).copy()
+        means[..., 2] = -5.0  # all behind the camera
+        scene["background"] = jnp.ones_like(scene["background"]) * 0.25
+        for impl in ("tiled", "pallas"):
+            def loss(m):
+                img = render(
+                    scene["extrinsics"], scene["intrinsics"], scene["near"],
+                    scene["far"], (32, 32), scene["background"],
+                    m, scene["covariances"], scene["sh"],
+                    scene["opacities"], impl=impl, config=CFG,
+                )
+                return jnp.sum(img**2), img
+
+            (l, img), g = jax.value_and_grad(
+                loss, has_aux=True
+            )(jnp.asarray(means, jnp.float32))
+            np.testing.assert_allclose(np.asarray(img), 0.25, atol=1e-6)
+            assert bool(jnp.all(jnp.isfinite(g))), impl
+            np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
     @pytest.mark.parametrize(
         "ts,cap,shape",
         [(16, 128, (32, 48)), (32, 256, (40, 64)), (16, 512, (64, 64))],
