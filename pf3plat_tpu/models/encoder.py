@@ -41,7 +41,6 @@ from ..geometry.projection import (
 from ..geometry.transforms import (
     make_rt,
     matrix_to_rotation_6d,
-    plucker_embedding,
     rotation_6d_to_matrix,
 )
 from .costvolume import DepthPredictorCfg, DepthPredictorMultiView
@@ -308,11 +307,11 @@ class PoseFreeEncoder(nn.Module):
         origins, directions = get_world_rays(
             xy4[None, None], c2w_sync[:, :, None], intrinsics[:, :, None]
         )  # (b, v, L, 3)
-        plucker = plucker_embedding(origins, directions)  # (b, v, L, 6)
-        # reference concatenates (directions, cross) — match that order:
+        # reference concatenates (directions, cross) — match that order
+        # (NOT the normalized-moment plucker_embedding form):
         plucker = jnp.concatenate(
             [directions, jnp.cross(origins, directions)], axis=-1
-        )
+        )  # (b, v, L, 6)
         feat4 = jax.image.resize(
             feat.reshape(b * v, hd, wd, d), (b * v, h4, w4, d), "bilinear"
         ).reshape(b, v, h4 * w4, d)

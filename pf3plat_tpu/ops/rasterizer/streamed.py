@@ -90,9 +90,10 @@ def _pair_sort(
     total_pairs = b * n * max_dup
     total_tiles = b * num_tiles
 
+    assert total_tiles * 2 < 2**31  # fused-key bit budget (cf. binning.py)
+
     bounds = tile_bounds(screen, image_shape, config)
     visible = (bounds.tw > 0) & (bounds.th > 0)
-    depth_key = _depth_sort_key(screen.depth, visible)  # (b, n)
 
     slot = jnp.arange(max_dup, dtype=jnp.int32)
     dy = slot // side
@@ -111,15 +112,22 @@ def _pair_sort(
             total_pairs
         )
 
+    # Sanitize culled gaussians' features: projection leaves garbage (up to
+    # inf/NaN) in invisible rows, and although the kernels seg-mask their
+    # alpha/gradient CONTRIBUTIONS, a non-finite feature inside a shared DMA
+    # window would still poison the masked arithmetic (inf * 0 = NaN).
+    def feat(x):
+        return pairify(jnp.where(visible, x, 0.0))
+
     channels = screen.color.shape[-1]
     feats = [
-        pairify(screen.xy[..., 0]),
-        pairify(screen.xy[..., 1]),
-        pairify(screen.conic[..., 0]),
-        pairify(screen.conic[..., 1]),
-        pairify(screen.conic[..., 2]),
-        pairify(screen.opacity),
-    ] + [pairify(screen.color[..., c]) for c in range(channels)]
+        feat(screen.xy[..., 0]),
+        feat(screen.xy[..., 1]),
+        feat(screen.conic[..., 0]),
+        feat(screen.conic[..., 1]),
+        feat(screen.conic[..., 2]),
+        feat(screen.opacity),
+    ] + [feat(screen.color[..., c]) for c in range(channels)]
 
     if config.fused_sort_key:
         bits_d = 31 - max(1, (total_tiles - 1)).bit_length() - 1
@@ -148,7 +156,7 @@ def _pair_sort(
         ids_sorted = sorted_ops[1]
         feats_sorted = sorted_ops[2:]
     else:
-        depth_keys = pairify(depth_key)
+        depth_keys = pairify(_depth_sort_key(screen.depth, visible))
         sorted_ops = jax.lax.sort(
             (tile_key, depth_keys, ids) + tuple(feats), num_keys=2
         )
@@ -486,6 +494,14 @@ def _make_streamed_composite(
             "the streamed pipeline requires chunk == 128 (DMA window "
             f"granularity); got {config.chunk}"
         )
+    if config.tile_capacity % config.chunk != 0:
+        raise ValueError(
+            "the streamed pipeline requires tile_capacity to be a multiple "
+            f"of chunk (128): a capacity like {config.tile_capacity} would "
+            "silently composite fewer gaussians than min(segment, capacity) "
+            "whenever a segment's 128-aligned window cannot cover both the "
+            "start offset and the full capacity"
+        )
     n_chunks = config.tile_capacity // config.chunk + 1
     p = config.tile_size**2
 
@@ -575,13 +591,16 @@ def composite_streamed_batched(
 
     # depth/radius/valid only steer binning (non-differentiable bookkeeping,
     # like the CUDA sort): they are explicit args with zero cotangents so the
-    # custom_vjp closure holds no tracers.
+    # custom_vjp closure holds no tracers. background IS differentiable (the
+    # bwd kernel computes d(bg)), so it must be an explicit arg too.
     @jax.custom_vjp
-    def rasterize(xy, conic, opacity, color, depth, radius, valid):
-        img, _ = _raster_fwd_impl(xy, conic, opacity, color, depth, radius, valid)
+    def rasterize(xy, conic, opacity, color, bg, depth, radius, valid):
+        img, _ = _raster_fwd_impl(
+            xy, conic, opacity, color, bg, depth, radius, valid
+        )
         return img
 
-    def _raster_fwd_impl(xy, conic, opacity, color, depth, radius, valid):
+    def _raster_fwd_impl(xy, conic, opacity, color, bg, depth, radius, valid):
         scr = ScreenGaussians(
             xy=xy, depth=depth, conic=conic, radius=radius,
             color=color, opacity=opacity, valid=valid,
@@ -599,7 +618,7 @@ def composite_streamed_batched(
         base = starts[:-1] // 128
         off = starts[:-1] - base * 128
         tile_ids = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
-        bg_rows = jnp.repeat(background, num_tiles, axis=0)[..., None]
+        bg_rows = jnp.repeat(bg, num_tiles, axis=0)[..., None]
 
         interpret = jax.default_backend() != "tpu"
         fwd_call, bwd_call = _make_streamed_composite(
@@ -615,9 +634,9 @@ def composite_streamed_batched(
         out = _tiles_to_image(img_tiles, b, tiles_x, tiles_y, channels, ts)
         return out[:, :h, :w], res
 
-    def raster_fwd(xy, conic, opacity, color, depth, radius, valid):
+    def raster_fwd(xy, conic, opacity, color, bg, depth, radius, valid):
         img, res = _raster_fwd_impl(
-            xy, conic, opacity, color, depth, radius, valid
+            xy, conic, opacity, color, bg, depth, radius, valid
         )
         return img, (res, depth, radius, valid)
 
@@ -665,14 +684,15 @@ def composite_streamed_batched(
         d_conic = d[..., 2:5]
         d_op = d[..., 5]
         d_color = d[..., 6:]
+        d_bg = dbg.reshape(b, num_tiles, channels).sum(axis=1)
         return (
-            d_xy, d_conic, d_op, d_color,
+            d_xy, d_conic, d_op, d_color, d_bg,
             jnp.zeros_like(depth), jnp.zeros_like(radius), None,
         )
 
     rasterize.defvjp(raster_fwd, raster_bwd)
     return rasterize(
-        screen.xy, screen.conic, screen.opacity, screen.color,
+        screen.xy, screen.conic, screen.opacity, screen.color, background,
         screen.depth, screen.radius, screen.valid,
     )
 

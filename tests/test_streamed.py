@@ -62,6 +62,37 @@ class TestStreamedParity:
                 err_msg=f"grad {name}",
             )
 
+    def test_background_gradient_matches_pallas(self):
+        """jax.grad w.r.t. background must work (bg is threaded through the
+        custom_vjp explicitly) and match the dense-table path."""
+        rng = np.random.default_rng(17)
+        scene = make_scene(rng, n=48, b=2)
+        tgt = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+
+        def loss(bg, impl):
+            img = render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], (32, 32), bg,
+                scene["means"], scene["covariances"], scene["sh"],
+                scene["opacities"], impl=impl, config=CFG,
+            )
+            return jnp.mean((img - tgt) ** 2)
+
+        bg = jnp.asarray(rng.uniform(0, 1, (2, 3)), jnp.float32)
+        g_p = jax.grad(loss)(bg, "pallas")
+        g_s = jax.grad(loss)(bg, "streamed")
+        assert bool(jnp.any(g_p != 0.0))
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(g_p), rtol=1e-4, atol=1e-7
+        )
+
+    def test_rejects_unaligned_tile_capacity(self):
+        rng = np.random.default_rng(19)
+        scene = make_scene(rng, n=16, b=1)
+        cfg = RasterizeConfig(tile_size=16, tile_capacity=200, chunk=128)
+        with pytest.raises(ValueError, match="multiple"):
+            render(**scene, image_shape=(32, 32), impl="streamed", config=cfg)
+
     def test_exact_two_key_sort_variant(self):
         rng = np.random.default_rng(11)
         scene = make_scene(rng, n=64, b=1)

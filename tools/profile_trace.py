@@ -1,7 +1,7 @@
 """Trace the bench-scene rasterizer step with jax.profiler and print the
 per-op device-time breakdown + the analytic HBM roofline.
 
-Usage (on the TPU chip):  python tools/profile_trace.py [fwd|fwdbwd] [iters]
+Usage (on the TPU chip):  python tools/profile_trace.py [fwd|fwdbwd] [iters] [impl]
 Trace lands under /tmp/pf3plat_trace; the table prints the top fusions so
 stage costs (sort / gather / pallas / scatter) are attributed exactly
 instead of by ablation.
@@ -20,6 +20,7 @@ import jax.numpy as jnp
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwdbwd"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    impl = sys.argv[3] if len(sys.argv) > 3 else "pallas"
 
     from pf3plat_tpu.models.decoder import DecoderCfg, decode
     from pf3plat_tpu.models.types import Gaussians
@@ -51,7 +52,7 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
-    cfg = DecoderCfg(impl="pallas", raster=RasterizeConfig())
+    cfg = DecoderCfg(impl=impl, raster=RasterizeConfig())
 
     def loss_fn(g):
         out = decode(cfg, g, extr, intr, near, far, (h, w))
