@@ -127,6 +127,21 @@ class ArbitraryViewSampler:
 
 
 class AllViewSampler:
+    """Every frame becomes both context and target (reference
+    `view_sampler_all.py`) — used for trajectory-video evaluation.
+
+    `max_views` (TPU deviation, documented in PARITY.md): optionally
+    subsample to at most `max_views` evenly-spaced frames so the jitted
+    forward keeps a bounded shape set instead of recompiling per scene
+    length."""
+
+    def __init__(self, max_views: "int | None" = None):
+        self.max_views = max_views
+
     def sample(self, scene, num_views, rng=None, global_step: int = 0):
-        idx = np.arange(num_views, dtype=np.int64)
+        if self.max_views is not None and num_views > self.max_views:
+            idx = np.linspace(0, num_views - 1, self.max_views)
+            idx = np.unique(np.round(idx).astype(np.int64))
+        else:
+            idx = np.arange(num_views, dtype=np.int64)
         return idx, idx

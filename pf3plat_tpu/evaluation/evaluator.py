@@ -42,6 +42,11 @@ class EvalCfg:
     # (reference `model_wrapper.py:698-778` test-time video rendering).
     save_video: bool = False
     video_frames: int = 30
+    # Depth rendering mode for the saved depth panels ("depth", "disparity",
+    # "relative_disparity", "log"); None skips the depth render entirely.
+    # Mirrors the reference's test-time depth splatting
+    # (`model_wrapper.py:269-278`, `cuda_splatting.py:223-269`).
+    depth_mode: Optional[str] = "depth"
 
 
 def overlap_bucket(overlap: Optional[float]) -> str:
@@ -68,7 +73,8 @@ class Evaluator:
 
         self._forward = jax.jit(
             lambda p, images, intr, near, far, rng: model.forward(
-                p, images, intr, near, far, jnp.asarray(0), rng
+                p, images, intr, near, far, jnp.asarray(0), rng,
+                depth_mode=cfg.depth_mode if cfg.save_image else None,
             )
         )
 

@@ -48,9 +48,17 @@ def batch_iterator(cfg, stage, host_id, num_hosts, get_step):
     """
     from .data.dataset import ChunkDataset, batch_examples
     from .data.prefetch import ExamplePipeline
-    from .data.view_samplers import BoundedViewSampler, EvaluationViewSampler
+    from .data.view_samplers import (
+        AllViewSampler,
+        BoundedViewSampler,
+        EvaluationViewSampler,
+    )
 
-    if cfg.evaluation_index is not None and stage == "test":
+    if stage == "test" and cfg.test.sampler == "all":
+        # Trajectory-video evaluation: every (subsampled) frame is context
+        # and target (reference `view_sampler_all.py`).
+        sampler = AllViewSampler(max_views=cfg.test.all_sampler_max_views)
+    elif cfg.evaluation_index is not None and stage == "test":
         sampler = EvaluationViewSampler(cfg.evaluation_index)
     else:
         sampler = BoundedViewSampler(cfg.view_sampler, stage=stage)
@@ -119,6 +127,12 @@ def run_train(cfg) -> None:
     print("initializing model...", flush=True)
     params = jax.jit(model.init)(rng, images, intr, near, far)
     print("model initialized", flush=True)
+    if cfg.weights is not None:
+        from .training.pretrained import load_pretrained_frozen
+
+        params = params._replace(
+            frozen=load_pretrained_frozen(cfg.weights, params.frozen)
+        )
 
     opt = make_optimizer(cfg.optimizer)
     state = init_train_state(params.trainable, opt)
@@ -329,6 +343,13 @@ def run_test(cfg) -> None:
     far = jnp.asarray(first["context"]["far"])
     rng = jax.random.PRNGKey(cfg.seed)
     params = jax.jit(model.init)(rng, images, intr, near, far)
+    if cfg.weights is not None:
+        from .training.pretrained import load_pretrained_frozen
+
+        params = PF3platParams(
+            params.trainable,
+            load_pretrained_frozen(cfg.weights, params.frozen),
+        )
 
     ckpt = CheckpointManager(cfg.checkpointing)
     state = ckpt.restore_latest(
@@ -353,6 +374,7 @@ def run_test(cfg) -> None:
             compute_scores=cfg.test.compute_scores,
             save_video=cfg.test.save_video,
             video_frames=cfg.test.video_frames,
+            depth_mode=cfg.test.depth_mode,
         ),
         model, params, lpips_apply=lpips_apply,
     )

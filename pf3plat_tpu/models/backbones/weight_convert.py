@@ -106,7 +106,12 @@ def _cross_block(sd: dict, prefix: str) -> dict:
     }
 
 
-def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
+def convert_lightglue(sd: dict, n_layers: int | None = None) -> dict:
+    if n_layers is None:
+        # Infer from the release layout (9 for the published checkpoint).
+        n_layers = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("transformers.")
+        )
     params = {
         "input_proj": {
             "kernel": linear_w(np.asarray(sd["input_proj.weight"])),
@@ -144,7 +149,12 @@ def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
     return {"params": params}
 
 
-def convert_dinov2(sd: dict, depth: int = 24) -> dict:
+def convert_dinov2(sd: dict, depth: int | None = None) -> dict:
+    if depth is None:
+        # Infer from the release layout (24 for ViT-L/14).
+        depth = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+        )
     params = {
         "patch_embed": {
             "kernel": conv_w(np.asarray(sd["patch_embed.proj.weight"])),

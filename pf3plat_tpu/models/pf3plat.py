@@ -130,8 +130,13 @@ class PF3plat:
         global_step: Array,
         rng: Array,
         render_views: bool = True,
+        depth_mode=None,
         mesh=None,
     ) -> tuple[EncoderOutput, Optional[DecoderOutput]]:
+        """`depth_mode`: optional depth rendering mode ("depth", "disparity",
+        "relative_disparity", "log") — splats camera-space Z alongside color,
+        like the reference's test/val depth renders
+        (`src/model/model_wrapper.py:269-278`)."""
         h, w = images.shape[2:4]
         frozen_out, corr = self.perceive(params.frozen, images, intrinsics)
         enc = self.encoder.apply(
@@ -143,6 +148,6 @@ class PF3plat:
             c2w = jnp.linalg.inv(enc.refined_poses)
             out = decode(
                 self.cfg.decoder, enc.gaussians, c2w, intrinsics, near, far,
-                (h, w), mesh=mesh,
+                (h, w), depth_mode=depth_mode, mesh=mesh,
             )
         return enc, out

@@ -88,22 +88,13 @@ def render(
     if impl == "streamed":
         from .streamed import composite_streamed_batched
 
-        if mesh is not None:
-            n_dev = 1
-            for v in mesh.shape.values():
-                n_dev *= v
-            if n_dev > 1:
-                raise ValueError(
-                    "impl='streamed' does not support mesh sharding yet; "
-                    "use impl='pallas' for tile-sharded rendering"
-                )
         screen = jax.vmap(
             lambda cam, m, c, o, s: project_gaussians(
                 cam, m, c, o, s, sh_degree, config, use_sh=use_sh
             )
         )(camera, means, covariances, opacities, sh)
         return composite_streamed_batched(
-            screen, image_shape, background, config
+            screen, image_shape, background, config, mesh=mesh
         )
 
     if impl == "pallas":

@@ -26,10 +26,11 @@ payload operands, after which every downstream access is **contiguous**:
      rasterizer's "global sorted list + per-tile ranges" design, with DMA
      replacing shared-memory staging;
   5. the backward kernel re-DMAs the same windows, computes per-chunk
-     feature gradients, and accumulates them into a sorted-order gradient
-     array with read-modify-write DMAs (correct because TPU Pallas grid
-     steps execute sequentially on a core — adjacent tiles' boundary
-     chunks never race);
+     feature gradients, and EMITS them as per-(tile, chunk) output blocks
+     (pure writes — no read-modify-write DMA serialization, and no
+     ordering dependency between grid steps); one XLA block scatter-add
+     over the ~tiles*n_chunks 128-row windows merges the shared boundary
+     chunks into the sorted-order gradient array;
   6. ONE `lax.sort` keyed on the carried pair ids restores original pair
      order, and a reshape-sum over the max_dup axis yields per-gaussian
      gradients — replacing the scatter-add entirely.
@@ -95,20 +96,26 @@ def _pair_sort(
     bounds = tile_bounds(screen, image_shape, config)
     visible = (bounds.tw > 0) & (bounds.th > 0)
 
-    slot = jnp.arange(max_dup, dtype=jnp.int32)
+    # Pairs are laid out SLOT-MAJOR — (max_dup, b, n) — so every feature
+    # broadcast is a leading-axis copy of a contiguous (b, n) block (the
+    # (b, n, max_dup) layout put the dup axis innermost: 4-lane strided
+    # writes, measured ~6x slower materialization). Tie order is preserved
+    # exactly by sorting with the g-major pair id as a SECOND key instead
+    # of relying on stable input order.
+    slot = jnp.arange(max_dup, dtype=jnp.int32)[:, None, None]
     dy = slot // side
     dx = slot % side
-    in_box = (dy < bounds.th[..., None]) & (dx < bounds.tw[..., None])
-    tile = (bounds.ty0[..., None] + dy) * tiles_x + (bounds.tx0[..., None] + dx)
-    b_off = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[:, None, None]
+    in_box = (dy < bounds.th[None]) & (dx < bounds.tw[None])
+    tile = (bounds.ty0[None] + dy) * tiles_x + (bounds.tx0[None] + dx)
+    b_off = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[None, :, None]
     tile_key = jnp.where(in_box, tile + b_off, _INT32_MAX).reshape(total_pairs)
-    ids = jnp.arange(total_pairs, dtype=jnp.int32)  # unique PAIR ids
+    # g-major pair id (gaussian * max_dup + slot): the VALUE ordering other
+    # stages rely on (bwd unsort + reshape over the dup axis).
+    g_idx = jnp.arange(b * n, dtype=jnp.int32).reshape(1, b, n)
+    ids = (g_idx * max_dup + slot).reshape(total_pairs)
 
-    # (b, n) feature channels broadcast to pairs lazily via reshape tricks:
-    # build (b, n, 1) -> broadcast (b, n, dup) -> flat. XLA fuses these
-    # broadcasts into the sort's operand materialization.
-    def pairify(x):  # (b, n) -> (total_pairs,)
-        return jnp.broadcast_to(x[..., None], (b, n, max_dup)).reshape(
+    def pairify(x):  # (b, n) -> (total_pairs,), slot-major
+        return jnp.broadcast_to(x[None], (max_dup, b, n)).reshape(
             total_pairs
         )
 
@@ -145,7 +152,7 @@ def _pair_sort(
             tile_key == _INT32_MAX, _INT32_MAX, (tile_key << bits_d) | dq
         )
         sorted_ops = jax.lax.sort(
-            (fused, ids) + tuple(feats), num_keys=1
+            (fused, ids) + tuple(feats), num_keys=2
         )
         key_sorted = sorted_ops[0]
         tile_sorted = jnp.where(
@@ -158,7 +165,7 @@ def _pair_sort(
     else:
         depth_keys = pairify(_depth_sort_key(screen.depth, visible))
         sorted_ops = jax.lax.sort(
-            (tile_key, depth_keys, ids) + tuple(feats), num_keys=2
+            (tile_key, depth_keys, ids) + tuple(feats), num_keys=3
         )
         tile_sorted = sorted_ops[0]
         ids_sorted = sorted_ops[2]
@@ -176,13 +183,21 @@ def _pair_sort(
         lo = jnp.where(ge, lo, mid + 1)
     starts = lo
 
-    # Stack features as (F, padded): chunk c's window is rows [:, c*128 +128)
-    # — every DMA window 128-lane aligned; max window must stay in bounds.
+    # Stack features as (F, padded): chunk c's window is rows [:, c*128+128)
+    # — every DMA window 128-lane aligned. Rows are padded only up to the
+    # next 128 multiple (none at all for 128-aligned pair counts, i.e. every
+    # power-of-two image); windows near the array end are handled by
+    # CLAMPING each tile's base so [base*128, (base+n_chunks)*128) stays in
+    # bounds — the kernel's absolute [off, off+count) masking is exact for
+    # any off, so a clamped window composites identically.
     n_chunks = config.tile_capacity // config.chunk + 1
-    padded = -(-total_pairs // 128) * 128 + n_chunks * 128
-    pad_cols = [
-        jnp.pad(f, (0, padded - total_pairs)) for f in feats_sorted
-    ]
+    padded = max(-(-total_pairs // 128), n_chunks) * 128
+    if padded == total_pairs:
+        pad_cols = list(feats_sorted)
+    else:
+        pad_cols = [
+            jnp.pad(f, (0, padded - total_pairs)) for f in feats_sorted
+        ]
     pad_cols += [jnp.zeros((padded,), pad_cols[0].dtype)] * (
         _F - len(pad_cols)
     )
@@ -330,20 +345,18 @@ def _streamed_bwd_kernel(
     off_ref,
     counts_ref,
     tile_ids_ref,
+    nproc_ref,       # scalar prefetch (rows,): chunks the fwd processed
     feat_hbm,        # (_F, padded) ANY
-    dfeat_init_hbm,  # (_F, padded) ANY (aliased to dfeat output)
     bg_ref,          # (1, ch, 1)
     tchk_ref,        # (1, n_chunks, P)
     tfin_ref,        # (1, 1, P)
     gimg_ref,        # (1, ch, P)
     gtf_ref,         # (1, 1, P)
-    dfeat_hbm,       # (_F, padded) ANY out (aliased)
+    dblk_ref,        # (1, n_chunks, _F, 128) out: per-chunk gradient blocks
     dbg_ref,         # (1, ch, 1) out
     buf,             # VMEM (2, _F, 128)
-    rmw,             # VMEM (_F, 128)
     tail,            # VMEM (1, P)
     sem,             # DMA sems (2,)
-    rmw_sem,         # DMA sem (1,)
     *,
     config: RasterizeConfig,
     channels: int,
@@ -371,6 +384,7 @@ def _streamed_bwd_kernel(
     gt = jnp.sum(bg_ref[0] * g, axis=0, keepdims=True) + gtf_ref[0]
     dbg_ref[0] = jnp.sum(g * tfin_ref[0], axis=1, keepdims=True)
     tail[...] = tfin_ref[0] * gt
+    dblk_ref[...] = jnp.zeros((1, n_chunks, _F, c), jnp.float32)
 
     l_incl = _tri_incl(c, dtype)
     u_suf = _tri_suffix(c, dtype)
@@ -383,11 +397,18 @@ def _streamed_bwd_kernel(
             sem.at[slot],
         )
 
-    # Highest chunk index the forward actually processed, walked in reverse.
-    dma(n_chunks - 1, (n_chunks - 1) % 2).start()
+    # Walk ONLY the chunks the forward actually processed (its early-exit
+    # count, recovered from the transmittance checkpoints on the XLA side),
+    # in reverse — the all-n_chunks walk cost ~3 ms of dead DMA waits on the
+    # bench scene (fwd averages ~1/3 of the capacity before saturating).
+    n_proc = nproc_ref[r]
+
+    @pl.when(n_proc > 0)
+    def _():
+        dma(n_proc - 1, jax.lax.rem(n_proc - 1, 2)).start()
 
     def body(k, _):
-        i = n_chunks - 1 - k
+        i = n_proc - 1 - k
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i - 1 >= 0)
@@ -396,88 +417,71 @@ def _streamed_bwd_kernel(
 
         dma(i, slot).wait()
 
-        processed = (i * c < off + count) & (
-            jnp.max(tchk_ref[0, i, :]) > 0.0
+        data = buf[slot]
+        alpha, dx, dy, gexp, unclamped = _chunk_alpha_cols(
+            data, px, py, config
         )
+        j = i * c + lane_col
+        seg = (j >= off) & (j < off + count)
+        alpha = jnp.where(seg, alpha, 0.0)
+        unclamped = unclamped & seg
+        color = data[6 : 6 + channels, :]
 
-        @pl.when(processed)
-        def _():
-            data = buf[slot]
-            alpha, dx, dy, gexp, unclamped = _chunk_alpha_cols(
-                data, px, py, config
-            )
-            j = i * c + lane_col
-            seg = (j >= off) & (j < off + count)
-            alpha = jnp.where(seg, alpha, 0.0)
-            unclamped = unclamped & seg
-            color = data[6 : 6 + channels, :]
+        t_start = tchk_ref[0, i, :][None, :]
+        s = jnp.log1p(-alpha)
+        incl = jax.lax.dot_general(
+            l_incl, s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_after = t_start * jnp.exp(incl)
+        alive = (t_after >= config.transmittance_min) & seg
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - config.alpha_clamp)
+        t_before = t_after / one_m
+        wgt = jnp.where(alive, t_before * alpha, 0.0)
 
-            t_start = tchk_ref[0, i, :][None, :]
-            s = jnp.log1p(-alpha)
-            incl = jax.lax.dot_general(
-                l_incl, s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            t_after = t_start * jnp.exp(incl)
-            alive = (t_after >= config.transmittance_min) & seg
-            one_m = jnp.maximum(1.0 - alpha, 1.0 - config.alpha_clamp)
-            t_before = t_after / one_m
-            wgt = jnp.where(alive, t_before * alpha, 0.0)
+        cg = jax.lax.dot_general(
+            color, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, P)
+        m = wgt * cg
+        suffix = jax.lax.dot_general(
+            u_suf, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + tail[...]
 
-            cg = jax.lax.dot_general(
-                color, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (C, P)
-            m = wgt * cg
-            suffix = jax.lax.dot_general(
-                u_suf, m, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + tail[...]
+        dalpha = jnp.where(alive, t_before * cg - suffix / one_m, 0.0)
+        dalpha = jnp.where(unclamped, dalpha, 0.0)
 
-            dalpha = jnp.where(alive, t_before * cg - suffix / one_m, 0.0)
-            dalpha = jnp.where(unclamped, dalpha, 0.0)
+        op = data[5, :][:, None]
+        dpow = alpha * dalpha
+        ca = data[2, :][:, None]
+        cb = data[3, :][:, None]
+        cc = data[4, :][:, None]
 
-            op = data[5, :][:, None]
-            dpow = alpha * dalpha
-            ca = data[2, :][:, None]
-            cb = data[3, :][:, None]
-            cc = data[4, :][:, None]
+        d_op = jnp.sum(gexp * dalpha, axis=1)[None, :]
+        d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1)[None, :]
+        d_cb = jnp.sum(-dx * dy * dpow, axis=1)[None, :]
+        d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=1)[None, :]
+        d_x0 = jnp.sum((ca * dx + cb * dy) * dpow, axis=1)[None, :]
+        d_y0 = jnp.sum((cc * dy + cb * dx) * dpow, axis=1)[None, :]
+        d_col = jax.lax.dot_general(
+            g, wgt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ch, C)
+        zeros = jnp.zeros((_F - 6 - channels, c), jnp.float32)
+        d_chunk = jnp.concatenate(
+            [d_x0, d_y0, d_ca, d_cb, d_cc, d_op, d_col, zeros], axis=0
+        )  # (_F, C)
 
-            d_op = jnp.sum(gexp * dalpha, axis=1)[None, :]
-            d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1)[None, :]
-            d_cb = jnp.sum(-dx * dy * dpow, axis=1)[None, :]
-            d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=1)[None, :]
-            d_x0 = jnp.sum((ca * dx + cb * dy) * dpow, axis=1)[None, :]
-            d_y0 = jnp.sum((cc * dy + cb * dx) * dpow, axis=1)[None, :]
-            d_col = jax.lax.dot_general(
-                g, wgt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (ch, C)
-            zeros = jnp.zeros((_F - 6 - channels, c), jnp.float32)
-            d_chunk = jnp.concatenate(
-                [d_x0, d_y0, d_ca, d_cb, d_cc, d_op, d_col, zeros], axis=0
-            )  # (_F, C)
+        # Pure block write (no RMW): boundary windows shared with
+        # adjacent tiles are merged by the XLA scatter-add outside.
+        dblk_ref[0, i] = d_chunk
 
-            # Read-modify-write into the sorted-order gradient array.
-            # Boundary windows shared with the previous/next tile accumulate
-            # correctly because grid steps run sequentially on the core.
-            cin = pltpu.make_async_copy(
-                dfeat_hbm.at[:, pl.ds((base + i) * c, c)], rmw, rmw_sem.at[0]
-            )
-            cin.start()
-            cin.wait()
-            rmw[...] += d_chunk
-            cout = pltpu.make_async_copy(
-                rmw, dfeat_hbm.at[:, pl.ds((base + i) * c, c)], rmw_sem.at[0]
-            )
-            cout.start()
-            cout.wait()
-
-            tail[...] += jnp.sum(m, axis=0, keepdims=True)
+        tail[...] += jnp.sum(m, axis=0, keepdims=True)
 
         return ()
 
-    jax.lax.fori_loop(0, n_chunks, body, ())
+    jax.lax.fori_loop(0, n_proc, body, ())
 
 
 @functools.lru_cache(maxsize=32)
@@ -543,10 +547,9 @@ def _make_streamed_composite(
             tiles_x=tiles_x, n_chunks=n_chunks,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(rows,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
@@ -555,25 +558,45 @@ def _make_streamed_composite(
                 pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(
+                    (1, n_chunks, _F, 128), lambda t, *_: (t, 0, 0, 0)
+                ),
                 pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, _F, 128), jnp.float32),
-                pltpu.VMEM((_F, 128), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((1,)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((_F, padded), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n_chunks, _F, 128), jnp.float32),
             jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
         ],
-        input_output_aliases={5: 0},  # dfeat_init (after 4 prefetch) -> dfeat
         interpret=interpret,
     )
     return fwd_call, bwd_call
+
+
+def _shard_rows(call, mesh, n_row_args, n_outs):
+    """shard_map a streamed pallas call over its leading tile-row axis:
+    row-indexed operands (scalar prefetch + per-tile blocks) split over ALL
+    mesh axes, the sorted feature array replicated, outputs row-sharded —
+    the same zero-forward-traffic layout as pallas_impl's tile sharding."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    spec = PartitionSpec(tuple(mesh.axis_names))
+    rep = PartitionSpec()
+    return shard_map(
+        call,
+        mesh=mesh,
+        in_specs=tuple(
+            [spec] * n_row_args[0] + [rep] + [spec] * n_row_args[1]
+        ),
+        out_specs=tuple([spec] * n_outs) if n_outs > 1 else spec,
+        check_vma=False,
+    )
 
 
 def composite_streamed_batched(
@@ -581,8 +604,15 @@ def composite_streamed_batched(
     image_shape: tuple[int, int],
     background: Array,  # (b, c)
     config: RasterizeConfig,
+    mesh=None,
 ) -> Array:
-    """Streamed-pipeline rendering of a batch of cameras -> (b, h, w, c)."""
+    """Streamed-pipeline rendering of a batch of cameras -> (b, h, w, c).
+
+    `mesh`: optional jax.sharding.Mesh — shards the compositing kernels'
+    (batch * tiles) rows over all mesh axes; the binning sort and the
+    gradient unsort stay global (replicated), so the only backward
+    collective is XLA's reduction of the sharded gradient blocks.
+    """
     h, w = image_shape
     ts = config.tile_size
     b, n = screen.depth.shape
@@ -615,15 +645,31 @@ def composite_streamed_batched(
         cap = config.tile_capacity
         seg = starts[1:] - starts[:-1]
         counts = jnp.minimum(seg, cap)
-        base = starts[:-1] // 128
+        # Clamp each tile's window base so all n_chunks 128-row windows stay
+        # inside the (barely padded) feature array; the kernels' absolute
+        # [off, off+count) masking handles off >= 128 exactly (off+count <=
+        # n_chunks*128 holds because count <= min(segment remainder, cap)).
+        n_chunks = config.tile_capacity // config.chunk + 1
+        max_base = feat_sorted.shape[1] // 128 - n_chunks
+        base = jnp.minimum(starts[:-1] // 128, max_base)
         off = starts[:-1] - base * 128
         tile_ids = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
         bg_rows = jnp.repeat(bg, num_tiles, axis=0)[..., None]
 
         interpret = jax.default_backend() != "tpu"
-        fwd_call, bwd_call = _make_streamed_composite(
-            rows, feat_sorted.shape[1], channels, tiles_x, config, interpret
+        n_shards = 1 if mesh is None else int(
+            np.prod(list(mesh.shape.values()))
         )
+        if rows % n_shards:
+            raise ValueError(
+                f"{rows} tile rows not divisible by mesh size {n_shards}"
+            )
+        fwd_call, bwd_call = _make_streamed_composite(
+            rows // n_shards, feat_sorted.shape[1], channels, tiles_x,
+            config, interpret,
+        )
+        if n_shards > 1:
+            fwd_call = _shard_rows(fwd_call, mesh, (4, 1), 3)
         img_tiles, tfin, tchk = fwd_call(
             base, off, counts, tile_ids, feat_sorted, bg_rows
         )
@@ -661,18 +707,43 @@ def composite_streamed_batched(
         )
 
         interpret = jax.default_backend() != "tpu"
-        fwd_call, bwd_call = _make_streamed_composite(
-            rows, feat_sorted.shape[1], channels, tiles_x, config, interpret
+        padded = feat_sorted.shape[1]
+        n_shards = 1 if mesh is None else int(
+            np.prod(list(mesh.shape.values()))
         )
-        dfeat_init = jnp.zeros_like(feat_sorted)
-        dfeat_sorted, dbg = bwd_call(
-            base, off, counts, tile_ids, feat_sorted, dfeat_init,
+        fwd_call, bwd_call = _make_streamed_composite(
+            rows // n_shards, padded, channels, tiles_x, config, interpret
+        )
+        if n_shards > 1:
+            bwd_call = _shard_rows(bwd_call, mesh, (5, 5), 2)
+        # Chunks the forward actually processed per tile (its early-exit
+        # count): chunk i was processed iff its transmittance checkpoint was
+        # written (checkpoints are written pre-compositing and transmittance
+        # is strictly positive, so processed <=> max > 0, monotone in i).
+        nproc = jnp.sum(
+            (jnp.max(tchk, axis=2) > 0.0).astype(jnp.int32), axis=1
+        )
+        dblk, dbg = bwd_call(
+            base, off, counts, tile_ids, nproc, feat_sorted,
             bg_rows, tchk, tfin, g_tiles,
             jnp.zeros((rows, 1, p), jnp.float32),
         )
+        # Merge the per-(tile, chunk) gradient blocks into sorted order:
+        # adjacent tiles sharing a boundary window accumulate via scatter-add
+        # (~rows * n_chunks block indices — negligible next to a row scatter).
+        n_chunks = config.tile_capacity // config.chunk + 1
+        n_win = padded // 128
+        win = (base[:, None] + jnp.arange(n_chunks, dtype=jnp.int32)[None, :])
+        acc = jnp.zeros((n_win, _F, 128), jnp.float32)
+        acc = acc.at[win.reshape(-1)].add(
+            dblk.reshape(rows * n_chunks, _F, 128)
+        )
+        dfeat_sorted = acc.transpose(1, 0, 2).reshape(_F, padded)
 
         # Unsort: ONE sort keyed on carried pair ids restores original pair
         # order; a reshape-sum over dup slots gives per-gaussian grads.
+        # The first total_pairs sorted rows are exactly the real pairs (pad
+        # rows carry key INT32_MAX and sit stably after every real row).
         total = total_pairs
         cols = [dfeat_sorted[k, :total] for k in range(6 + channels)]
         unsorted = jax.lax.sort(

@@ -68,6 +68,14 @@ class TestCfg:
     save_image: bool = True
     save_video: bool = False   # wobble/interpolation videos per test example
     video_frames: int = 30
+    # Test-time view sampler: "evaluation" (JSON index / bounded fallback)
+    # or "all" (every frame, for trajectory-video evaluation — reference
+    # `view_sampler_all.py`). "all" caps at `all_sampler_max_views` frames.
+    sampler: str = "evaluation"
+    all_sampler_max_views: int = 12
+    # Depth rendering mode for the saved depth panels (reference
+    # `model_wrapper.py:269-278`); set null to skip the depth render.
+    depth_mode: Optional[str] = "depth"
 
 
 @dataclasses.dataclass
@@ -83,6 +91,11 @@ class RootCfg:
     mode: str = "train"
     seed: int = 111123
     output_dir: Optional[Path] = None
+    # Directory of converted pretrained frozen weights (`.pkl` trees from
+    # `python -m pf3plat_tpu.models.backbones.weight_convert`); overlaid on
+    # the frozen params at init — the reference's hub-checkpoint loading
+    # (`superpoint.py:144-145`, `encoder_costvolume.py:81`).
+    weights: Optional[Path] = None
     dataset: DatasetCfg = dataclasses.field(
         default_factory=lambda: DatasetCfg(roots=[Path("datasets/re10k")])
     )
@@ -104,7 +117,7 @@ class RootCfg:
     max_steps: int = 300_001
 
 
-_PATH_FIELDS = {"roots", "output_dir", "directory", "output_path",
+_PATH_FIELDS = {"roots", "output_dir", "directory", "output_path", "weights",
                 "evaluation_index", "index_path"}
 
 

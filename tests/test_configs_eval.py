@@ -152,6 +152,39 @@ class TestModeTestDryRun:
         assert (out / "metrics.txt").exists()
         assert list((out / "images" / "pred").glob("*.png"))
         assert list((out / "images" / "gt").glob("*.png"))
+        # rendered-depth panels (reference `model_wrapper.py:269-278`)
+        assert list((out / "depth").glob("*.png"))
         assert list((out / "video").glob("*.gif")) or list(
             (out / "video").glob("*.mp4")
+        )
+
+    def test_all_sampler_video_eval(self, tmp_path):
+        """`test.sampler=all` runs the trajectory-video protocol: every
+        (capped) frame becomes context+target (reference
+        `view_sampler_all.py`)."""
+        from test_data import make_chunk
+
+        from pf3plat_tpu.main import run_test
+        from pf3plat_tpu.utils.config import load_config
+
+        data_dir = tmp_path / "data" / "test"
+        data_dir.mkdir(parents=True)
+        make_chunk(data_dir / "000000.torch", n_scenes=1, n_frames=9,
+                   h=72, w=128, seed=5)
+        overrides = list(TINY_OVERRIDES) + [
+            'dataset.roots=["%s"]' % (tmp_path / "data"),
+            f"test.output_path={tmp_path / 'out'}",
+            f"checkpointing.directory={tmp_path / 'ckpt'}",
+            "test.sampler=all",
+            "test.all_sampler_max_views=4",
+        ]
+        cfg = load_config(CONFIG_DIR / "re10k_test.yaml", overrides)
+        run_test(cfg)
+        out = tmp_path / "out"
+        scores = json.loads((out / "scores_all_avg.json").read_text())
+        assert scores["all"]["count"] >= 1
+        # 4 views spliced: targets = views[1:-1] -> 2 pred/gt images
+        assert len(list((out / "images" / "pred").glob("*.png"))) == 2
+        assert list((out / "video").glob("*.mp4")) or list(
+            (out / "video").glob("*.gif")
         )

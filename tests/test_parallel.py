@@ -145,6 +145,42 @@ class TestTileShardedRender:
             np.asarray(sh_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
         )
 
+    def test_streamed_mesh_path_matches_unsharded(self):
+        """The fast streamed pipeline under a (data=2, tile=4) mesh
+        reproduces the unsharded streamed render and its gradients."""
+        import sys
+        sys.path.insert(0, "tests")
+        from test_rasterizer import make_scene
+
+        from pf3plat_tpu.ops.rasterizer import RasterizeConfig, render
+
+        cfg = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=128)
+        rng = np.random.default_rng(4)
+        scene = make_scene(rng, n=96, b=2)
+        mesh = make_mesh(MeshCfg(data_axis=2, tile_axis=4))
+
+        def loss(means, mesh_arg):
+            img = render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], (32, 32), scene["background"], means,
+                scene["covariances"], scene["sh"], scene["opacities"],
+                impl="streamed", config=cfg, mesh=mesh_arg,
+            )
+            return jnp.sum(img**2), img
+
+        (ref_l, ref_img), ref_g = jax.value_and_grad(
+            lambda m: loss(m, None), has_aux=True
+        )(scene["means"])
+        (sh_l, sh_img), sh_g = jax.value_and_grad(
+            lambda m: loss(m, mesh), has_aux=True
+        )(scene["means"])
+        np.testing.assert_allclose(
+            np.asarray(sh_img), np.asarray(ref_img), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
+        )
+
     def test_gradients_survive_sharding(self):
         import sys
         sys.path.insert(0, "tests")

@@ -73,7 +73,7 @@ def main() -> None:
         np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
 
     rows = profiling.device_op_breakdown(trace_dir)
-    print(profiling.format_breakdown(rows, top=30))
+    print(profiling.format_breakdown(rows, top=60))
     total_us = sum(r["total_us"] for r in rows)
     print(f"\ndevice total: {total_us / iters / 1e3:.3f} ms/iter over {iters} iters")
 
