@@ -1,10 +1,19 @@
 """Driver benchmark: rasterizer fwd+bwd throughput on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...stats}.
 
 Measures the BASELINE.json north-star metric — Mrays/s/chip forward+backward
 at 256x256, 2 views, one gaussian per pixel of 2 context views (131k
-gaussians) — through the public decoder path (Pallas rasterizer backend).
+gaussians) — through the public decoder path. The production default
+backend ("streamed", `ops/rasterizer/streamed.py`) is benched first; set
+PF3PLAT_BENCH_IMPL to force another (pallas/tiled/anchored), or
+PF3PLAT_BENCH_PROBE_ALL=1 to probe streamed+pallas and keep the winner
+(each extra variant costs a multi-minute compile on the relay backend).
+
+Statistics: the headline value is the mean over `n_iters` pipelined steps;
+`std` and `probe_ms` report repeat variance (three independent timing
+windows). If the result regresses >5% against the last committed
+BENCH_r*.json, a "regression_vs" note is included.
 
 The reference repo publishes no numbers (BASELINE.md); `vs_baseline`
 normalizes against an estimated 20 Mrays/s for the reference CUDA
@@ -15,7 +24,10 @@ NOTE: on the axon tunnel, block_until_ready does not synchronize; timing
 uses deep pipelining with a final forced host sync.
 """
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
@@ -27,12 +39,31 @@ import jax.numpy as jnp
 BASELINE_MRAYS = 20.0
 
 
+def last_committed_bench():
+    """(round, mrays) of the newest BENCH_r*.json next to this script."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            rec = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        val = rec.get("value")
+        if val is None:
+            continue
+        r = int(m.group(1))
+        if best is None or r > best[0]:
+            best = (r, float(val))
+    return best
+
+
 def main() -> None:
     from pf3plat_tpu.models.decoder import DecoderCfg, decode
     from pf3plat_tpu.models.types import Gaussians
     from pf3plat_tpu.ops.rasterizer import RasterizeConfig
-
-    import os
 
     rng = np.random.default_rng(0)
     # PF3PLAT_BENCH_SIDE shrinks the scene for CPU smoke tests of this
@@ -71,24 +102,22 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
-    def make_cfg(layout, tile_size=16):
+    def make_cfg(impl, tile_size=16):
         # Capacity scales with tile area so every variant keeps the same
         # per-pixel truncation behavior (same workload, same output).
         if tile_size < 16 or tile_size % 16:
             raise ValueError(
-                f"tile_size must be a multiple of 16 >= 16, got {tile_size} "
-                "(smaller/odd sizes would change capacity per pixel and "
-                "benchmark a different workload)"
+                f"tile_size must be a multiple of 16 >= 16, got {tile_size}"
             )
         base_cap = 1024 if side >= 256 else 256
         cap = base_cap * (tile_size * tile_size) // 256
         return DecoderCfg(
-            impl="pallas",
+            impl=impl,
             raster=RasterizeConfig(
                 tile_size=tile_size,
                 tile_capacity=cap,
+                anchor_capacity=cap,
                 chunk=128,
-                table_layout=layout,
             ),
         )
 
@@ -104,8 +133,8 @@ def main() -> None:
             devices=jax.devices()[:tile_axis],
         )
 
-    def make_step(layout, tile_size):
-        cfg = make_cfg(layout, tile_size)
+    def make_step(impl, tile_size):
+        cfg = make_cfg(impl, tile_size)
 
         def loss_fn(g):
             out = decode(cfg, g, extr, intr, near, far, (h, w), mesh=mesh)
@@ -122,48 +151,61 @@ def main() -> None:
         np.asarray(g.means).ravel()[:1]  # forced sync (block_until_ready lies)
         return (time.time() - t0) / iters
 
-    # Auto-select among numerically-identical implementation variants
-    # (layout parity and tile-size equivalence pinned by the test suite);
-    # env vars force a specific one. A variant that fails to compile
-    # (e.g. VMEM pressure at large tile sizes) is skipped, not fatal.
-    forced_layout = os.environ.get("PF3PLAT_BENCH_TABLE_LAYOUT")
-    forced_ts = os.environ.get("PF3PLAT_BENCH_TILE_SIZE")
-    layouts = [forced_layout] if forced_layout else ["f_major", "slot_major"]
-    tile_sizes = [int(forced_ts)] if forced_ts else [16, 32]
+    forced = os.environ.get("PF3PLAT_BENCH_IMPL")
+    ts = int(os.environ.get("PF3PLAT_BENCH_TILE_SIZE", "16"))
+    if forced:
+        variants = [forced]
+    elif os.environ.get("PF3PLAT_BENCH_PROBE_ALL"):
+        variants = ["streamed", "pallas"]
+    else:
+        variants = ["streamed"]
 
     probe: dict = {}
     steps: dict = {}
-    for lay in layouts:
-        for ts in tile_sizes:
-            key = (lay, ts)
-            try:
-                steps[key] = make_step(lay, ts)
-                probe[key] = measure(steps[key], 8)
-            except Exception as e:  # variant failed to compile/run — skip
-                print(f"# variant {key} failed: {type(e).__name__}",
-                      file=sys.stderr, flush=True)
+    errors: dict = {}
+    for impl in variants:
+        try:
+            steps[impl] = make_step(impl, ts)
+            probe[impl] = measure(steps[impl], 8)
+        except Exception as e:  # variant failed to compile/run — skip
+            errors[impl] = f"{type(e).__name__}: {e}"
+            print(f"# variant {impl} failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+    if not probe and "streamed" in errors and forced is None:
+        # Hard fallback: the dense-table path is the battle-tested alternate.
+        try:
+            steps["pallas"] = make_step("pallas", ts)
+            probe["pallas"] = measure(steps["pallas"], 8)
+        except Exception as e:
+            errors["pallas"] = f"{type(e).__name__}: {e}"
     if not probe:
-        raise RuntimeError(
-            f"every bench variant failed (layouts={layouts}, "
-            f"tile_sizes={tile_sizes}) — see stderr for per-variant errors"
-        )
-    for key, t in sorted(probe.items(), key=lambda kv: kv[1]):
-        print(f"# probe {key[0]}/ts{key[1]}: {t * 1e3:.2f} ms",
+        raise RuntimeError(f"every bench variant failed: {errors}")
+    for impl, t in sorted(probe.items(), key=lambda kv: kv[1]):
+        print(f"# probe {impl}/ts{ts}: {t * 1e3:.2f} ms",
               file=sys.stderr, flush=True)
     best = min(probe, key=probe.get)
 
-    dt = measure(steps[best], 30)
+    # Three independent timing windows -> mean/std of the per-step time.
+    n_iters = 30
+    windows = [measure(steps[best], n_iters) for _ in range(3)]
+    dt = float(np.mean(windows))
+    dt_std = float(np.std(windows))
 
     rays = b * v * h * w
     mrays = rays / dt / 1e6
-    # vs_baseline is only meaningful at the metric-of-record scene size.
     rec = {
         "metric": f"rasterizer_fwd_bwd_{side}x{side}_2view",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4) if side == 256 else None,
-        "variant": f"{best[0]}/ts{best[1]}",
+        "variant": f"{best}/ts{ts}",
+        "std_mrays": round(rays / 1e6 * dt_std / (dt * dt), 3),
+        "n_iters": n_iters,
+        "windows_ms": [round(x * 1e3, 3) for x in windows],
     }
+    prev = last_committed_bench()
+    if prev is not None and side == 256 and mrays < 0.95 * prev[1]:
+        rec["regression_vs"] = {"round": prev[0], "value": prev[1]}
     print(json.dumps(rec))
 
 

@@ -30,7 +30,11 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class DecoderCfg:
     background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
-    impl: str = "pallas"
+    # Production default: the streamed sort-carried pipeline — fastest
+    # measured on real TPU (see bench.py history) and mesh-shardable.
+    # "pallas" (dense-table) and "tiled" (pure XLA) remain as alternates;
+    # "bruteforce" is the test oracle.
+    impl: str = "streamed"
     raster: RasterizeConfig = DEFAULT_CONFIG
 
 

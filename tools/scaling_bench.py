@@ -9,7 +9,7 @@ On real multi-chip hardware this is the scaling measurement of record;
 on the 8-virtual-device CPU backend it validates the harness itself
 (absolute numbers are meaningless there — interpret-mode kernels).
 
-Usage: python tools/scaling_bench.py [image_side] [iters]
+Usage: python tools/scaling_bench.py [image_side] [iters] [impl] [out.json]
 """
 
 import json
@@ -48,7 +48,7 @@ def make_scene(h, w, cams):
     )
 
 
-def measure(scene, h, w, mesh, iters):
+def measure(scene, h, w, mesh, iters, impl):
     from pf3plat_tpu.ops.rasterizer import RasterizeConfig, render
 
     cfg = RasterizeConfig()
@@ -59,7 +59,7 @@ def measure(scene, h, w, mesh, iters):
             scene["extrinsics"], scene["intrinsics"], scene["near"],
             scene["far"], (h, w), scene["background"], means,
             scene["covariances"], scene["sh"], scene["opacities"],
-            impl="pallas", config=cfg, mesh=mesh,
+            impl=impl, config=cfg, mesh=mesh,
         )
         return jnp.mean((img - target) ** 2)
 
@@ -79,6 +79,8 @@ def main() -> None:
 
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    impl = sys.argv[3] if len(sys.argv) > 3 else "streamed"
+    out_path = Path(sys.argv[4]) if len(sys.argv) > 4 else None
     h = w = side
     n_dev = len(jax.devices())
     cams = 2
@@ -99,7 +101,7 @@ def main() -> None:
                 MeshCfg(data_axis=1, tile_axis=tile),
                 devices=jax.devices()[:tile],
             )
-        mrays = measure(scene, h, w, mesh, iters)
+        mrays = measure(scene, h, w, mesh, iters, impl)
         n = 1 if tile is None else tile
         if base is None:
             base = mrays
@@ -109,6 +111,17 @@ def main() -> None:
             "scaling_efficiency": round(eff, 4),
         })
         print(json.dumps(results[-1]), flush=True)
+
+    if out_path is not None:
+        out_path.write_text(json.dumps({
+            "impl": impl, "side": side, "iters": iters,
+            "backend": jax.default_backend(),
+            "note": ("harness validation on virtual CPU devices; absolute "
+                     "numbers and efficiencies are not hardware-meaningful"
+                     ) if jax.default_backend() == "cpu" else
+                    "hardware scaling measurement",
+            "results": results,
+        }, indent=2))
 
 
 if __name__ == "__main__":
