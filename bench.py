@@ -6,7 +6,7 @@ Measures the BASELINE.json north-star metric — Mrays/s/chip forward+backward
 at 256x256, 2 views, one gaussian per pixel of 2 context views (131k
 gaussians) — through the public decoder path. The production default
 backend ("streamed", `ops/rasterizer/streamed.py`) is benched first; set
-PF3PLAT_BENCH_IMPL to force another (pallas/tiled/anchored), or
+PF3PLAT_BENCH_IMPL to force another (pallas/tiled), or
 PF3PLAT_BENCH_PROBE_ALL=1 to probe streamed+pallas and keep the winner
 (each extra variant costs a multi-minute compile on the relay backend).
 
@@ -116,7 +116,6 @@ def main() -> None:
             raster=RasterizeConfig(
                 tile_size=tile_size,
                 tile_capacity=cap,
-                anchor_capacity=cap,
                 chunk=128,
             ),
         )

@@ -7,10 +7,19 @@ depth rendering modes (`:223-269`) — but fully batched under vmap/jit with no
 per-sample Python loop, returning channel-last (b, h, w, c) images
 (TPU-native layout; the reference returns channel-first).
 
-`impl` selects the compositing backend:
-  * "tiled"      — binned XLA scan path (default; differentiable, fast)
+`impl` selects the compositing backend (consolidated set, one per role):
+  * "streamed"   — PRODUCTION DEFAULT: sort-carried Pallas pipeline with
+                   in-kernel DMA streaming + mesh sharding (streamed.py)
+  * "pallas"     — dense-table Pallas kernels; the alternate hardware path
+                   and bench fallback (pallas_impl.py)
+  * "tiled"      — pure-XLA binned scan; the CPU-fast reference path
   * "bruteforce" — O(pixels x gaussians) oracle for tests
-  * "pallas"     — hand-written TPU kernels (see pallas_fwd.py)
+
+(Two earlier experimental backends were removed after losing hardware
+A/Bs to "streamed": `anchored` — per-anchor-segment DMA with in-kernel
+bitonic merge, 2.67 Mrays/s vs streamed 4.88 on the bench scene — and the
+standalone XLA `sharded` variant, superseded by `mesh=` on the
+streamed/pallas paths. See git history for both.)
 """
 
 from __future__ import annotations
@@ -72,18 +81,6 @@ def render(
     sh_degree = int(math.isqrt(d_sh)) - 1
 
     camera = make_camera(extrinsics, intrinsics, image_shape)
-
-    if impl == "anchored":
-        from .anchored import composite_anchored_batched
-
-        screen = jax.vmap(
-            lambda cam, m, c, o, s: project_gaussians(
-                cam, m, c, o, s, sh_degree, config, use_sh=use_sh
-            )
-        )(camera, means, covariances, opacities, sh)
-        return composite_anchored_batched(
-            screen, image_shape, background, config
-        )
 
     if impl == "streamed":
         from .streamed import composite_streamed_batched

@@ -63,8 +63,8 @@ Array = jax.Array
 
 # Feature rows in the sorted array: [x, y, ca, cb, cc, op, color...] padded
 # to 16 sublanes so every (F, 128) chunk window is a 512-byte-aligned 8 KiB
-# DMA (see anchored.py's alignment note: sub-8-row windows fault the DMA
-# engine on unaligned HBM offsets).
+# DMA (measured on-chip: sub-8-row windows make the kernel's HBM RMW/read
+# offsets 512-byte-UNaligned, which faults the DMA engine — worker crash).
 _F = 16
 
 

@@ -47,10 +47,6 @@ class RasterizeConfig:
     # (e.g. scenes whose far plane is orders of magnitude beyond content,
     # where uniform quantization is coarse near the camera).
     fused_sort_key: bool = True
-    # Per-anchor-tile capacity of the `anchored` pipeline (gaussians kept
-    # per anchor segment; the compositing tile merges 4 neighbor segments,
-    # so its effective capacity is up to 4x this). Must be a multiple of 128.
-    anchor_capacity: int = 1024
     # Dense-table layout fed to the pallas compositor:
     #   "f_major"    — (rows, F, cap): features on sublanes, slots on lanes;
     #                  requires an XLA relayout of the gather output

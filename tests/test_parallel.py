@@ -82,32 +82,6 @@ class TestMesh:
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 class TestTileShardedRender:
-    def test_matches_unsharded(self):
-        import sys
-        sys.path.insert(0, "tests")
-        from test_rasterizer import make_scene
-
-        from pf3plat_tpu.ops.rasterizer import RasterizeConfig, render
-        from pf3plat_tpu.ops.rasterizer.sharded import render_tile_sharded
-
-        cfg = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=64)
-        rng = np.random.default_rng(0)
-        scene = make_scene(rng, n=96, b=2)  # 2 cams x 4 tiles x ... 32x32 -> 8 rows
-        ref = render(**scene, image_shape=(32, 32), impl="tiled", config=cfg)
-
-        mesh = make_mesh(MeshCfg(data_axis=1, tile_axis=8))
-        kwargs = {k: v for k, v in scene.items()}
-        sharded = render_tile_sharded(
-            mesh,
-            kwargs["extrinsics"], kwargs["intrinsics"], kwargs["near"],
-            kwargs["far"], (32, 32), kwargs["background"], kwargs["means"],
-            kwargs["covariances"], kwargs["sh"], kwargs["opacities"],
-            config=cfg,
-        )
-        np.testing.assert_allclose(
-            np.asarray(sharded), np.asarray(ref), atol=1e-5
-        )
-
     def test_pallas_mesh_path_matches_unsharded(self):
         """The production tile-sharded path (render(impl='pallas', mesh=...))
         on a (data=2, tile=4) mesh reproduces the unsharded pallas render
@@ -181,28 +155,3 @@ class TestTileShardedRender:
             np.asarray(sh_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
         )
 
-    def test_gradients_survive_sharding(self):
-        import sys
-        sys.path.insert(0, "tests")
-        from test_rasterizer import make_scene
-
-        from pf3plat_tpu.ops.rasterizer import RasterizeConfig
-        from pf3plat_tpu.ops.rasterizer.sharded import render_tile_sharded
-
-        cfg = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=64)
-        rng = np.random.default_rng(1)
-        scene = make_scene(rng, n=48, b=2)
-        mesh = make_mesh(MeshCfg(data_axis=1, tile_axis=8))
-
-        def loss(means):
-            img = render_tile_sharded(
-                mesh, scene["extrinsics"], scene["intrinsics"], scene["near"],
-                scene["far"], (32, 32), scene["background"], means,
-                scene["covariances"], scene["sh"], scene["opacities"],
-                config=cfg,
-            )
-            return jnp.sum(img**2)
-
-        g = jax.grad(loss)(scene["means"])
-        assert bool(jnp.all(jnp.isfinite(g)))
-        assert float(jnp.abs(g).max()) > 0

@@ -369,77 +369,3 @@ class TestSemantics:
         np.testing.assert_allclose(center, depth_true, rtol=2e-2)
 
 
-class TestAnchored:
-    """Anchor-tile pipeline vs the bruteforce oracle.
-
-    The anchored kernel quantizes depth keys to 20 bits with slot-index
-    tiebreak (same quantization class as ``fused_sort_key``), so gaussians
-    within ~2^-11 relative depth may swap compositing order; tolerances
-    are correspondingly looser than the exact tiled path.
-    """
-
-    CFG_A = RasterizeConfig(
-        tile_size=16, tile_capacity=512, anchor_capacity=256, chunk=128
-    )
-
-    def _scene(self):
-        rng = np.random.default_rng(11)
-        b, n = 2, 600
-        # screen-uniform positions (x = u*z) so no tile collects the whole
-        # scene as z spreads — keeps every anchor segment under capacity.
-        z = rng.uniform(2.5, 8.0, (b, n))
-        u = rng.uniform(-0.42, 0.42, (b, n))
-        v = rng.uniform(-0.42, 0.42, (b, n))
-        means = np.stack([u * z, v * z, z], axis=-1)
-        cov = np.zeros((b, n, 3, 3))
-        sc = rng.uniform(0.01, 0.1, (b, n, 3))
-        for i in range(3):
-            cov[..., i, i] = sc[..., i] ** 2
-        sh = rng.standard_normal((b, n, 3, 1)) * 0.3
-        opac = rng.uniform(0.2, 0.95, (b, n))
-        extr = np.broadcast_to(np.eye(4), (b, 4, 4)).copy()
-        intr = np.broadcast_to(
-            np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]), (b, 3, 3)
-        ).copy()
-        to = lambda a: jnp.asarray(a, jnp.float32)
-        return dict(
-            extrinsics=to(extr), intrinsics=to(intr),
-            near=to(np.ones(b)), far=to(np.full(b, 100.0)),
-            background=to(np.zeros((b, 3))), means=to(means),
-            covariances=to(cov), sh=to(sh), opacities=to(opac),
-        )
-
-    def test_forward_matches_bruteforce(self):
-        scene = self._scene()
-        shape = (48, 64)
-        ref = render(**scene, image_shape=shape, impl="bruteforce", config=self.CFG_A)
-        anc = render(**scene, image_shape=shape, impl="anchored", config=self.CFG_A)
-        diff = np.abs(np.asarray(ref) - np.asarray(anc))
-        # depth-tie reordering flips a few pixels; the field must match.
-        assert diff.mean() < 1e-4
-        assert diff.max() < 0.05
-
-    def test_gradients_match_bruteforce(self):
-        scene = self._scene()
-        shape = (48, 64)
-        probe = jnp.asarray(
-            np.random.default_rng(12).normal(size=(2, *shape, 3)), jnp.float32
-        )
-
-        def loss(impl):
-            def f(means, cov, opac, sh):
-                img = render(
-                    scene["extrinsics"], scene["intrinsics"], scene["near"],
-                    scene["far"], shape, scene["background"],
-                    means, cov, sh, opac, impl=impl, config=self.CFG_A,
-                )
-                return jnp.sum(img * probe)
-            return f
-
-        args = (scene["means"], scene["covariances"], scene["opacities"], scene["sh"])
-        g_ref = jax.grad(loss("bruteforce"), argnums=(0, 1, 2, 3))(*args)
-        g_anc = jax.grad(loss("anchored"), argnums=(0, 1, 2, 3))(*args)
-        for name, a, b in zip(("means", "cov", "opac", "sh"), g_ref, g_anc):
-            a, b = np.asarray(a), np.asarray(b)
-            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
-            assert rel < 0.05, f"grad {name} rel diff {rel}"

@@ -72,8 +72,9 @@ def main() -> None:
         jnp.float32)
     near = jnp.ones((b, v))
     far = jnp.full((b, v), 100.0)
+    # Union trick: context == target stack, so targets match rendered views.
     targets = jnp.asarray(
-        rng.uniform(0, 1, (b, 1, side, side, 3)), jnp.float32
+        rng.uniform(0, 1, (b, v, side, side, 3)), jnp.float32
     )
 
     key = jax.random.PRNGKey(0)

@@ -1,7 +1,7 @@
 """Measure one rasterizer impl's fwd+bwd throughput on the bench scene.
 
 Usage: python tools/fastpath_bench.py <impl> [iters]
-  impl in {pallas, anchored, streamed, tiled}
+  impl in {pallas, streamed, tiled}
 
 Prints one JSON line per run:
   {"impl", "ms_per_frame", "mrays_per_s", "probe_ms": [...]}
@@ -75,7 +75,6 @@ def main() -> None:
         raster=RasterizeConfig(
             tile_size=tile_size,
             tile_capacity=cap,
-            anchor_capacity=cap,
             chunk=128,
         ),
     )
