@@ -130,6 +130,7 @@ class TestVisualization:
         assert (tmp_path / "panel.png").exists()
         assert panel.ndim == 3
 
+    @pytest.mark.slow
     def test_topdown_projection(self):
         rng = np.random.default_rng(3)
         g = 64

@@ -91,6 +91,7 @@ class TestLightGlue:
 
 
 class TestMatching:
+    @pytest.mark.slow
     def test_match_context_views_shapes(self):
         rng = np.random.default_rng(3)
         images = jnp.asarray(rng.uniform(0, 1, (1, 2, 64, 64, 3)), jnp.float32)
@@ -131,6 +132,7 @@ class TestDINOv2:
 
 
 class TestUniDepth:
+    @pytest.mark.slow
     def test_interface(self):
         cfg = UniDepthCfg.tiny_test()
         m = UniDepth(cfg)

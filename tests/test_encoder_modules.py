@@ -77,6 +77,7 @@ class TestMultiViewTransformer:
 
 
 class TestUNet:
+    @pytest.mark.slow
     def test_unet_with_cross_view_attention(self):
         m = UNetModel(
             model_channels=16, out_channels=8,

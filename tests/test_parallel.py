@@ -82,6 +82,7 @@ class TestMesh:
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 class TestTileShardedRender:
+    @pytest.mark.slow
     def test_pallas_mesh_path_matches_unsharded(self):
         """The production tile-sharded path (render(impl='pallas', mesh=...))
         on a (data=2, tile=4) mesh reproduces the unsharded pallas render

@@ -166,6 +166,7 @@ class TestTiledVsBruteforce:
         b = render(**scene, image_shape=(32, 32), impl="tiled", config=fused)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.slow
     def test_all_culled_scene_is_background_with_finite_grads(self):
         """Every gaussian behind the near plane: image == background and
         gradients are finite zeros (no NaN from empty tiles)."""
@@ -246,6 +247,7 @@ class TestTiledVsBruteforce:
             np.asarray(g_s), np.asarray(g_f), rtol=1e-4, atol=1e-7
         )
 
+    @pytest.mark.slow
     def test_images_match_nonsquare(self):
         rng = np.random.default_rng(1)
         scene = make_scene(rng, n=64, b=1)
@@ -255,6 +257,7 @@ class TestTiledVsBruteforce:
             np.asarray(img_t), np.asarray(img_bf), atol=1e-5, rtol=1e-4
         )
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         rng = np.random.default_rng(2)
         scene = make_scene(rng, n=48, b=1)
@@ -279,6 +282,7 @@ class TestTiledVsBruteforce:
         # Gradients must be finite and nonzero.
         assert float(jnp.abs(g_t[0]).max()) > 0
 
+    @pytest.mark.slow
     def test_numerical_gradient_opacity(self):
         """Finite-difference check of d(loss)/d(opacity) on a tiny scene."""
         rng = np.random.default_rng(3)
@@ -319,6 +323,7 @@ class TestSemantics:
         img2 = render(**scene2, image_shape=(32, 32), impl="tiled", config=CFG)
         np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-4)
 
+    @pytest.mark.slow
     def test_early_termination_matches(self):
         """Stacked opaque gaussians exercise the T<1e-4 stop in both paths."""
         h = w = 16

@@ -105,6 +105,7 @@ class TestStreamedParity:
             np.asarray(img), np.asarray(ref), atol=1e-5, rtol=1e-4
         )
 
+    @pytest.mark.slow
     def test_fully_culled_scene(self):
         """All gaussians behind the camera: background image, finite zero
         gradients (matches the pallas-path test in test_rasterizer)."""
@@ -130,6 +131,7 @@ class TestStreamedParity:
         assert bool(jnp.all(jnp.isfinite(g)))
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_depth_rendering(self):
         rng = np.random.default_rng(5)
         scene = make_scene(rng, n=48, b=1)
@@ -145,6 +147,7 @@ class TestStreamedParity:
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4
         )
 
+    @pytest.mark.slow
     def test_capacity_truncation_matches_pallas(self):
         """Tiny capacity forces truncation: streamed must truncate the same
         front-to-back prefix as the dense-table path."""

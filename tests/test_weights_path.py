@@ -195,6 +195,7 @@ def _write_release_checkpoints(tmp_path, frozen):
 
 
 class TestWeightsPath:
+    @pytest.mark.slow
     def test_convert_cli_and_loader(self, tmp_path):
         """weight_convert.main() -> .pkl -> load_pretrained_frozen: every
         artifact converts, validates against the init tree, and actually
