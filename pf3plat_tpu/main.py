@@ -35,6 +35,7 @@ def build_model(cfg):
             max_keypoints=cfg.model.max_keypoints,
             max_matches=cfg.model.max_matches,
             lightglue_layers=cfg.model.lightglue_layers,
+            frozen_matmul_precision=cfg.model.frozen_matmul_precision,
         )
     )
 

@@ -59,12 +59,18 @@ class Block(nn.Module):
         b, n, _ = y.shape
         qkv = qkv.reshape(b, n, 3, c.num_heads, d // c.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (d // c.num_heads) ** -0.5
-        from ..layers import mxu_einsum
+        # (b, h, n, hd) layout: dispatches to the Pallas flash kernel at
+        # production token counts (UniDepth's shape constraint puts 256^2
+        # inputs at 2400+ patches — materialized (b,16,n,n) logits were
+        # ~5.5 GB of HBM traffic per block, the forward step's largest
+        # single cost), einsum below the flash threshold (CPU tests, tiny
+        # configs). Replaces the reference's xformers memory_efficient
+        # path (`backbones/metadinov2/attention.py:20`).
+        from ..layers import scaled_dot_attention
 
-        sim = mxu_einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = mxu_einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        out = scaled_dot_attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         out = nn.Dense(d, name="attn_proj")(out)
         gamma1 = self.param("ls1_gamma", ls, (d,))
         x = x + gamma1 * out

@@ -134,17 +134,16 @@ def scaled_dot_attention(q: Array, k: Array, v: Array, mask=None) -> Array:
 
     n, m = q.shape[-2], k.shape[-2]
     if (
-        os.environ.get("PF3PLAT_FLASH_ATTENTION") == "1"
+        os.environ.get("PF3PLAT_FLASH_ATTENTION", "1") != "0"
         and mask is None
         and min(n, m) >= _FLASH_MIN_TOKENS
         and q.ndim == 4
         and jax.default_backend() == "tpu"
     ):
-        # Opt-in pending hardware A/B: compiles ~10x slower through the
-        # remote-compile tunnel; round-1 runtime was break-even, but that
-        # measurement never covered the pose stacks (their head dim 32
-        # failed the old d % 64 == 0 gate, so flash never engaged where
-        # the traffic actually is).
+        # Default-on after the hardware A/B at the pose-stack shape
+        # (b=2, h=4, n=4097, d=32): flash 5.77 ms vs einsum 12.13 ms
+        # fwd+bwd, loss rel diff 6.7e-6 (tools/flash_check.py). Set
+        # PF3PLAT_FLASH_ATTENTION=0 to force the einsum path.
         return _flash_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     sim = mxu_einsum("...id,...jd->...ij", q * scale, k)

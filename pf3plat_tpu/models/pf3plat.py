@@ -47,6 +47,13 @@ class PF3platCfg:
     max_keypoints: int = 1024
     max_matches: int = 512
     lightglue_layers: int = 9
+    # Matmul precision for the FROZEN perception stage (UniDepth ViT-L,
+    # SuperPoint, LightGlue): "bfloat16" = one MXU pass per matmul (the
+    # TPU-native inference mode; the 24 ViT-L blocks dominate the forward
+    # step otherwise), "highest" = full f32. Parity tests exercise the
+    # backbones directly at full precision; this scope only affects the
+    # production perceive() path. Documented deviation in PARITY.md.
+    frozen_matmul_precision: str = "bfloat16"
 
 
 class PF3platParams(NamedTuple):
@@ -95,21 +102,26 @@ class PF3plat:
     def perceive(
         self, frozen_params, images: Array, intrinsics: Array
     ) -> tuple[FrozenInputs, Correspondences]:
-        """Frozen stage: monocular depth + features + correspondences."""
+        """Frozen stage: monocular depth + features + correspondences.
+
+        Runs under `cfg.frozen_matmul_precision` (default one-pass-bf16
+        MXU matmuls with f32 accumulation — the frozen ViT-L blocks were
+        the forward step's single largest cost at full f32 precision)."""
         b, v, h, w, _ = images.shape
-        out = self.unidepth.apply(
-            frozen_params["unidepth"],
-            images.reshape(b * v, h, w, 3),
-            intrinsics.reshape(b * v, 3, 3),
-        )
-        depth = jax.lax.stop_gradient(out.depth).reshape(b, v, h, w)
-        feats = jax.lax.stop_gradient(out.features)
-        feats = feats.reshape(b, v, *feats.shape[1:])
-        corr = match_context_views(
-            self.superpoint, frozen_params["superpoint"],
-            self.lightglue, frozen_params["lightglue"],
-            images, max_matches=self.cfg.max_matches,
-        )
+        with jax.default_matmul_precision(self.cfg.frozen_matmul_precision):
+            out = self.unidepth.apply(
+                frozen_params["unidepth"],
+                images.reshape(b * v, h, w, 3),
+                intrinsics.reshape(b * v, 3, 3),
+            )
+            depth = jax.lax.stop_gradient(out.depth).reshape(b, v, h, w)
+            feats = jax.lax.stop_gradient(out.features)
+            feats = feats.reshape(b, v, *feats.shape[1:])
+            corr = match_context_views(
+                self.superpoint, frozen_params["superpoint"],
+                self.lightglue, frozen_params["lightglue"],
+                images, max_matches=self.cfg.max_matches,
+            )
         corr = jax.tree_util.tree_map(jax.lax.stop_gradient, corr)
         return FrozenInputs(depth=depth, features=feats), corr
 

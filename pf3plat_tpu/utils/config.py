@@ -84,6 +84,9 @@ class ModelCfg:
     max_keypoints: int = 1024
     max_matches: int = 512
     lightglue_layers: int = 9
+    # Frozen-perception matmul precision: "bfloat16" (one MXU pass; the
+    # TPU inference mode) or "highest" (full f32, for parity debugging).
+    frozen_matmul_precision: str = "bfloat16"
 
 
 @dataclasses.dataclass
