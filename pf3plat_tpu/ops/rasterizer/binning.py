@@ -171,15 +171,24 @@ def bin_gaussians_batched(
         fused = jnp.where(
             tile_key == _INT32_MAX, _INT32_MAX, (tile_key << bits_d) | dq
         )
-        fused_sorted, ids_sorted = jax.lax.sort((fused, ids), num_keys=1)
+        # ids ascend with input order inside every equal-key run (g-major
+        # layout; one gaussian never hits the same tile twice), so making
+        # them an explicit key reproduces the stable tie order exactly while
+        # letting XLA drop the stability machinery (is_stable=False).
+        fused_sorted, ids_sorted = jax.lax.sort(
+            (fused, ids), num_keys=2, is_stable=False
+        )
         tile_sorted = jnp.where(
             fused_sorted == _INT32_MAX,
             _INT32_MAX,
             jax.lax.shift_right_logical(fused_sorted, bits_d),
         )
     else:
+        # Same tie-order argument as the fused branch: ids-as-third-key ==
+        # stable input order, and (tile, depth, id) triples never repeat
+        # within one tile, so the unstable sort is exact.
         tile_sorted, _, ids_sorted = jax.lax.sort(
-            (tile_key, depth_keys, ids), num_keys=2
+            (tile_key, depth_keys, ids), num_keys=3, is_stable=False
         )
 
     # Segment starts via manual vectorized binary search (jnp.searchsorted

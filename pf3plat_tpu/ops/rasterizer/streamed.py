@@ -151,8 +151,10 @@ def _pair_sort(
         fused = jnp.where(
             tile_key == _INT32_MAX, _INT32_MAX, (tile_key << bits_d) | dq
         )
+        # (fused, id) pairs are unique (ids enumerate pairs), so the
+        # unstable sort is deterministic and identical to the stable one.
         sorted_ops = jax.lax.sort(
-            (fused, ids) + tuple(feats), num_keys=2
+            (fused, ids) + tuple(feats), num_keys=2, is_stable=False
         )
         key_sorted = sorted_ops[0]
         tile_sorted = jnp.where(
@@ -165,7 +167,8 @@ def _pair_sort(
     else:
         depth_keys = pairify(_depth_sort_key(screen.depth, visible))
         sorted_ops = jax.lax.sort(
-            (tile_key, depth_keys, ids) + tuple(feats), num_keys=3
+            (tile_key, depth_keys, ids) + tuple(feats),
+            num_keys=3, is_stable=False,  # (tile, depth, id) unique
         )
         tile_sorted = sorted_ops[0]
         ids_sorted = sorted_ops[2]
@@ -747,7 +750,8 @@ def composite_streamed_batched(
         total = total_pairs
         cols = [dfeat_sorted[k, :total] for k in range(6 + channels)]
         unsorted = jax.lax.sort(
-            (ids_sorted,) + tuple(cols), num_keys=1
+            (ids_sorted,) + tuple(cols),
+            num_keys=1, is_stable=False,  # pair ids are unique
         )
         d = jnp.stack(unsorted[1:], axis=-1)  # (total, 6+ch) in pair order
         d = d.reshape(b, n, max_dup, 6 + channels).sum(axis=2)
