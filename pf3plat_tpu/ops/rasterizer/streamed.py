@@ -1,22 +1,18 @@
 """Streamed rasterizer pipeline — sort-carried features, zero row gathers.
 
-Round-2 trace attribution of the default ("pallas") pipeline on the bench
-scene (29.9 ms device fwd+bwd) showed 16.5 ms — 55% — spent in THREE
-row-addressed XLA passes around the compositing kernel:
-
-    table gather   feat_flat[flat_idx]        (524288 x 9 f32)   6.2 ms
-    its VJP        scatter-add to (n, 9)                          6.6 ms
-    ids gather     ids_sorted[pair_pos]       (524288 x 1 s32)   3.7 ms
-
-TPU gathers/scatters are row-latency-bound (~85-140 M rows/s measured);
-`lax.sort` by contrast moves the same rows ~10x faster. This pipeline
-therefore carries the 9 feature channels THROUGH the binning sort as sort
-payload operands, after which every downstream access is **contiguous**:
+Round-2 trace attribution of the dense-table ("pallas") pipeline showed 55%
+of the frame spent in three row-addressed XLA passes (feature gather, its
+scatter-add VJP, ids gather). TPU gathers/scatters are row-latency-bound
+(~85-140 M rows/s measured); `lax.sort` moves the same rows ~10x faster.
+This pipeline therefore carries the feature channels THROUGH the binning
+sort as sort payload operands, after which every downstream access is
+**contiguous**:
 
   1. projection (unchanged, `project.py`);
-  2. ONE `lax.sort` over the (batch*tile | quantized-depth) fused key,
-     carrying [pair_id, x, y, conic(3), opacity, color(ch)] — the sorted
-     feature array IS the compositing input, no dense per-tile table;
+  2. ONE unstable `lax.sort` over the (batch*tile | quantized-depth) fused
+     key with the g-major pair id as tiebreak key, carrying
+     [x, y, conic(3), opacity, color(ch)] — the sorted feature arrays ARE
+     the compositing input, no dense per-tile table;
   3. per-tile segment boundaries via the same vectorized binary search as
      `binning.py`;
   4. the Pallas forward kernel walks tile t's segment
@@ -26,16 +22,27 @@ payload operands, after which every downstream access is **contiguous**:
      rasterizer's "global sorted list + per-tile ranges" design, with DMA
      replacing shared-memory staging;
   5. the backward kernel re-DMAs the same windows, computes per-chunk
-     feature gradients, and EMITS them as per-(tile, chunk) output blocks
-     (pure writes — no read-modify-write DMA serialization, and no
-     ordering dependency between grid steps); one XLA block scatter-add
-     over the ~tiles*n_chunks 128-row windows merges the shared boundary
-     chunks into the sorted-order gradient array;
-  6. ONE `lax.sort` keyed on the carried pair ids restores original pair
-     order, and a reshape-sum over the max_dup axis yields per-gaussian
-     gradients — replacing the scatter-add entirely.
+     feature gradients, and ACCUMULATES them in-place into HBM gradient
+     buffers laid out exactly like the sorted features (read-modify-write
+     window DMAs; the sequential Pallas grid plus per-step drains order the
+     writes, so adjacent tiles sharing a boundary window merge correctly
+     with ZERO XLA glue — measured on-chip, this replaced a 1.7 ms block
+     transpose + 2.1 ms block scatter-add). Under a mesh the kernel falls
+     back to emitting per-(tile, chunk) gradient blocks merged by one XLA
+     block scatter-add (pure writes — order-independent and shardable);
+  6. ONE unstable `lax.sort` keyed on the carried pair ids restores
+     original pair order, and a reshape-sum over the max_dup axis yields
+     per-gaussian gradients — replacing a row scatter-add entirely.
 
-Same capacity/ordering semantics as the default pipeline (count =
+Feature layout (measured): channels are split into an 8-row stacked plane
+`featA = [x, y, ca, cb, cc, op, c0, c1]` — every chunk window is ONE
+512-byte-aligned strided DMA of exactly 8 sublanes, the f32 tile height,
+with zero padding waste — plus a flat `featB = c2` plane whose windows are
+contiguous (1, 128) rows. The previous (16, padded) stack wasted 7/16 of
+the DMA bytes and cost a measured 1.5 ms to materialize; `featB` costs
+nothing (it is the sort output reshaped).
+
+Same capacity/ordering semantics as the dense-table pipeline (count =
 min(segment, tile_capacity), fused or exact 2-key sort), so the oracle
 parity tests cover it unchanged.
 
@@ -61,11 +68,11 @@ from .types import RasterizeConfig, ScreenGaussians
 
 Array = jax.Array
 
-# Feature rows in the sorted array: [x, y, ca, cb, cc, op, color...] padded
-# to 16 sublanes so every (F, 128) chunk window is a 512-byte-aligned 8 KiB
-# DMA (measured on-chip: sub-8-row windows make the kernel's HBM RMW/read
-# offsets 512-byte-UNaligned, which faults the DMA engine — worker crash).
-_F = 16
+# featA sublane rows: [x, y, ca, cb, cc, op, c0, c1] — exactly the f32 VMEM
+# tile height, so every (8, 128) chunk window is a 512-byte-aligned strided
+# DMA with zero padding waste. Channels beyond 2 live in the flat featB
+# plane ((n_windows, 128) contiguous rows).
+_A = 8
 
 
 def _pair_sort(
@@ -75,10 +82,10 @@ def _pair_sort(
 ):
     """Expand gaussians into (tile, depth)-sorted pairs CARRYING features.
 
-    Returns (feat_sorted (F, padded), ids_sorted (padded,), starts (bT+1,),
-    tiles_x, tiles_y, total_pairs). Identical key construction (and thus
-    identical compositing order/capacity semantics) to
-    `binning.bin_gaussians_batched`.
+    Returns (featA (8, padded), featB (padded // 128, 128), ids_sorted
+    (padded,), starts (bT+1,), tiles_x, tiles_y, total_pairs). Identical
+    key construction (and thus identical compositing order/capacity
+    semantics) to `binning.bin_gaussians_batched`.
     """
     h, w = image_shape
     ts = config.tile_size
@@ -127,6 +134,11 @@ def _pair_sort(
         return pairify(jnp.where(visible, x, 0.0))
 
     channels = screen.color.shape[-1]
+    if channels > 3:
+        raise ValueError(
+            f"streamed pipeline supports at most 3 color channels, got "
+            f"{channels}"
+        )
     feats = [
         feat(screen.xy[..., 0]),
         feat(screen.xy[..., 1]),
@@ -186,32 +198,32 @@ def _pair_sort(
         lo = jnp.where(ge, lo, mid + 1)
     starts = lo
 
-    # Stack features as (F, padded): chunk c's window is rows [:, c*128+128)
-    # — every DMA window 128-lane aligned. Rows are padded only up to the
-    # next 128 multiple (none at all for 128-aligned pair counts, i.e. every
-    # power-of-two image); windows near the array end are handled by
-    # CLAMPING each tile's base so [base*128, (base+n_chunks)*128) stays in
-    # bounds — the kernel's absolute [off, off+count) masking is exact for
-    # any off, so a clamped window composites identically.
+    # Pad rows only up to the next 128 multiple (none at all for 128-aligned
+    # pair counts, i.e. every power-of-two image); windows near the array
+    # end are handled by CLAMPING each tile's base so
+    # [base*128, (base+n_chunks)*128) stays in bounds — the kernel's
+    # absolute [off, off+count) masking is exact for any off, so a clamped
+    # window composites identically.
     n_chunks = config.tile_capacity // config.chunk + 1
     padded = max(-(-total_pairs // 128), n_chunks) * 128
     if padded == total_pairs:
-        pad_cols = list(feats_sorted)
+        cols = list(feats_sorted)
     else:
-        pad_cols = [
-            jnp.pad(f, (0, padded - total_pairs)) for f in feats_sorted
-        ]
-    pad_cols += [jnp.zeros((padded,), pad_cols[0].dtype)] * (
-        _F - len(pad_cols)
-    )
-    feat_sorted = jnp.stack(pad_cols, axis=0)  # (_F, padded)
+        cols = [jnp.pad(f, (0, padded - total_pairs)) for f in feats_sorted]
+    a_cols = cols[:_A]
+    a_cols += [jnp.zeros((padded,), a_cols[0].dtype)] * (_A - len(a_cols))
+    featA = jnp.stack(a_cols, axis=0)  # (8, padded)
+    if channels == 3:
+        featB = cols[_A].reshape(padded // 128, 128)  # free: a reshape
+    else:
+        featB = jnp.zeros((padded // 128, 128), jnp.float32)
     return (
-        feat_sorted, ids_sorted, starts, tiles_x, tiles_y, total_pairs
+        featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
     )
 
 
 def _chunk_alpha_cols(data, px, py, config):
-    """(F, C) chunk data -> alpha (C, P) block + residuals (cf.
+    """(8, C) chunk data -> alpha (C, P) block + residuals (cf.
     pallas_impl._chunk_alpha with f_major columns)."""
     x0 = data[0, :][:, None]
     y0 = data[1, :][:, None]
@@ -231,20 +243,30 @@ def _chunk_alpha_cols(data, px, py, config):
     return alpha, dx, dy, g, unclamped
 
 
+def _color_rows(dataA, bufB_slot, channels):
+    """Assemble the (channels, C) color block from the A/B feature split."""
+    if channels <= 2:
+        return dataA[6 : 6 + channels, :]
+    return jnp.concatenate([dataA[6:8, :], bufB_slot], axis=0)
+
+
 def _streamed_fwd_kernel(
     base_ref,        # scalar prefetch (rows,): 128-aligned chunk base
     off_ref,         # scalar prefetch (rows,): start offset within window
     counts_ref,      # scalar prefetch (rows,)
     tile_ids_ref,    # scalar prefetch (rows,)
-    feat_hbm,        # (_F, padded) ANY
+    featA_hbm,       # (8, padded) ANY
+    featB_hbm,       # (padded // 128, 128) ANY
     bg_ref,          # (1, ch, 1) VMEM
     img_ref,         # (1, ch, P) out
     tfin_ref,        # (1, 1, P) out
     tchk_ref,        # (1, n_chunks, P) out
-    buf,             # VMEM (2, _F, 128) double buffer
+    bufA,            # VMEM (2, 8, 128) double buffer
+    bufB,            # VMEM (2, 1, 128)
     accum,           # VMEM (ch, P)
     tcar,            # VMEM (1, P)
-    sem,             # DMA sem (2,)
+    semA,            # DMA sem (2,)
+    semB,            # DMA sem (2,)
     *,
     config: RasterizeConfig,
     channels: int,
@@ -275,30 +297,49 @@ def _streamed_fwd_kernel(
     l_incl = _tri_incl(c, dtype)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
-    def dma(i, slot):
+    def dmaA(i, slot):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds((base + i) * c, c)],
-            buf.at[slot],
-            sem.at[slot],
+            featA_hbm.at[:, pl.ds((base + i) * c, c)],
+            bufA.at[slot],
+            semA.at[slot],
         )
 
-    dma(0, 0).start()
+    def dmaB(i, slot):
+        return pltpu.make_async_copy(
+            featB_hbm.at[pl.ds(base + i, 1), :],
+            bufB.at[slot],
+            semB.at[slot],
+        )
+
+    use_b = channels == 3
+
+    def start(i, slot):
+        dmaA(i, slot).start()
+        if use_b:
+            dmaB(i, slot).start()
+
+    def wait(i, slot):
+        dmaA(i, slot).wait()
+        if use_b:
+            dmaB(i, slot).wait()
+
+    start(0, 0)
 
     def chunk_body(i):
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < n_chunks)
         def _():
-            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+            start(i + 1, jax.lax.rem(i + 1, 2))
 
-        dma(i, slot).wait()
-        data = buf[slot]                       # (_F, 128)
+        wait(i, slot)
+        data = bufA[slot]                      # (8, 128)
         alpha, _, _, _, _ = _chunk_alpha_cols(data, px, py, config)
         # Mask rows outside this tile's segment [off, off+count).
         j = i * c + lane_col                   # global window position
         seg = (j >= off) & (j < off + count)
         alpha = jnp.where(seg, alpha, 0.0)
-        color = data[6 : 6 + channels, :]
+        color = _color_rows(data, bufB[slot], channels)
 
         tchk_ref[0, i, :] = tcar[0, :]
         s = jnp.log1p(-alpha)
@@ -337,35 +378,114 @@ def _streamed_fwd_kernel(
     # with an outstanding DMA and the next grid step faults.
     @pl.when(i_final < n_chunks)
     def _():
-        dma(i_final, jax.lax.rem(i_final, 2)).wait()
+        wait(i_final, jax.lax.rem(i_final, 2))
 
     img_ref[0] = accum[...] + bg_ref[0] * tcar[...]
     tfin_ref[0] = tcar[...]
 
 
-def _streamed_bwd_kernel(
+def _bwd_chunk_grads(
+    dataA, bufB_slot, tchk_row, g, gt_tail, px, py, off, count,
+    lane_col, l_incl, u_suf, config, channels, i,
+):
+    """Shared backward math for one chunk: returns (d_chunkA (8, C),
+    d_chunkB (1, C) or None, m (C, P) for the running tail update)."""
+    c = config.chunk
+    alpha, dx, dy, gexp, unclamped = _chunk_alpha_cols(
+        dataA, px, py, config
+    )
+    j = i * c + lane_col
+    seg = (j >= off) & (j < off + count)
+    alpha = jnp.where(seg, alpha, 0.0)
+    unclamped = unclamped & seg
+    color = _color_rows(dataA, bufB_slot, channels)
+
+    t_start = tchk_row
+    s = jnp.log1p(-alpha)
+    incl = jax.lax.dot_general(
+        l_incl, s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t_after = t_start * jnp.exp(incl)
+    alive = (t_after >= config.transmittance_min) & seg
+    one_m = jnp.maximum(1.0 - alpha, 1.0 - config.alpha_clamp)
+    t_before = t_after / one_m
+    wgt = jnp.where(alive, t_before * alpha, 0.0)
+
+    cg = jax.lax.dot_general(
+        color, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, P)
+    m = wgt * cg
+    suffix = jax.lax.dot_general(
+        u_suf, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + gt_tail
+
+    dalpha = jnp.where(alive, t_before * cg - suffix / one_m, 0.0)
+    dalpha = jnp.where(unclamped, dalpha, 0.0)
+
+    op = dataA[5, :][:, None]
+    dpow = alpha * dalpha
+    ca = dataA[2, :][:, None]
+    cb = dataA[3, :][:, None]
+    cc = dataA[4, :][:, None]
+
+    d_op = jnp.sum(gexp * dalpha, axis=1)[None, :]
+    d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1)[None, :]
+    d_cb = jnp.sum(-dx * dy * dpow, axis=1)[None, :]
+    d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=1)[None, :]
+    d_x0 = jnp.sum((ca * dx + cb * dy) * dpow, axis=1)[None, :]
+    d_y0 = jnp.sum((cc * dy + cb * dx) * dpow, axis=1)[None, :]
+    d_col = jax.lax.dot_general(
+        g, wgt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (ch, C)
+    rows = [d_x0, d_y0, d_ca, d_cb, d_cc, d_op, d_col[: min(channels, 2)]]
+    pad = _A - 6 - min(channels, 2)
+    if pad:
+        rows.append(jnp.zeros((pad, c), jnp.float32))
+    d_chunkA = jnp.concatenate(rows, axis=0)  # (8, C)
+    d_chunkB = d_col[2:3] if channels == 3 else None
+    return d_chunkA, d_chunkB, m
+
+
+def _streamed_bwd_rmw_kernel(
     base_ref,
     off_ref,
     counts_ref,
     tile_ids_ref,
     nproc_ref,       # scalar prefetch (rows,): chunks the fwd processed
-    feat_hbm,        # (_F, padded) ANY
+    featA_hbm,       # (8, padded) ANY
+    featB_hbm,       # (padded // 128, 128) ANY
     bg_ref,          # (1, ch, 1)
     tchk_ref,        # (1, n_chunks, P)
     tfin_ref,        # (1, 1, P)
     gimg_ref,        # (1, ch, P)
     gtf_ref,         # (1, 1, P)
-    dblk_ref,        # (1, n_chunks, _F, 128) out: per-chunk gradient blocks
+    gA_in,           # (8, padded) ANY — aliased to gA_hbm (zero-filled)
+    gB_in,           # (padded // 128, 128) ANY — aliased to gB_hbm
+    gA_hbm,          # (8, padded) ANY out: in-place gradient accumulator
+    gB_hbm,          # (padded // 128, 128) ANY out
     dbg_ref,         # (1, ch, 1) out
-    buf,             # VMEM (2, _F, 128)
+    fbufA,           # VMEM (2, 8, 128)
+    fbufB,           # VMEM (2, 1, 128)
+    gbufA,           # VMEM (2, 8, 128)
+    gbufB,           # VMEM (2, 1, 128)
     tail,            # VMEM (1, P)
-    sem,             # DMA sems (2,)
+    semFA, semFB, semGRA, semGRB, semGWA, semGWB,  # DMA sems (2,) each
     *,
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
     n_chunks: int,
 ):
+    """In-place (read-modify-write) backward: gradients accumulate directly
+    into HBM buffers laid out like the sorted features. Correctness of the
+    overlapping boundary windows relies on the sequential TPU grid plus the
+    per-step DMA drain: a tile's writes complete before the next tile's
+    reads of the shared window start. NOT safe under a sharded grid — the
+    mesh path uses `_streamed_bwd_blocks_kernel` instead."""
     c = config.chunk
     ts = config.tile_size
     p = ts * ts
@@ -387,18 +507,56 @@ def _streamed_bwd_kernel(
     gt = jnp.sum(bg_ref[0] * g, axis=0, keepdims=True) + gtf_ref[0]
     dbg_ref[0] = jnp.sum(g * tfin_ref[0], axis=1, keepdims=True)
     tail[...] = tfin_ref[0] * gt
-    dblk_ref[...] = jnp.zeros((1, n_chunks, _F, c), jnp.float32)
 
     l_incl = _tri_incl(c, dtype)
     u_suf = _tri_suffix(c, dtype)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    use_b = channels == 3
 
-    def dma(i, slot):
-        return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds((base + i) * c, c)],
-            buf.at[slot],
-            sem.at[slot],
-        )
+    def dma_feat(i, slot, start):
+        copies = [
+            pltpu.make_async_copy(
+                featA_hbm.at[:, pl.ds((base + i) * c, c)],
+                fbufA.at[slot], semFA.at[slot],
+            )
+        ]
+        if use_b:
+            copies.append(pltpu.make_async_copy(
+                featB_hbm.at[pl.ds(base + i, 1), :],
+                fbufB.at[slot], semFB.at[slot],
+            ))
+        for d in copies:
+            d.start() if start else d.wait()
+
+    def dma_grad_read(i, slot, start):
+        copies = [
+            pltpu.make_async_copy(
+                gA_hbm.at[:, pl.ds((base + i) * c, c)],
+                gbufA.at[slot], semGRA.at[slot],
+            )
+        ]
+        if use_b:
+            copies.append(pltpu.make_async_copy(
+                gB_hbm.at[pl.ds(base + i, 1), :],
+                gbufB.at[slot], semGRB.at[slot],
+            ))
+        for d in copies:
+            d.start() if start else d.wait()
+
+    def dma_grad_write(i, slot, start):
+        copies = [
+            pltpu.make_async_copy(
+                gbufA.at[slot], gA_hbm.at[:, pl.ds((base + i) * c, c)],
+                semGWA.at[slot],
+            )
+        ]
+        if use_b:
+            copies.append(pltpu.make_async_copy(
+                gbufB.at[slot], gB_hbm.at[pl.ds(base + i, 1), :],
+                semGWB.at[slot],
+            ))
+        for d in copies:
+            d.start() if start else d.wait()
 
     # Walk ONLY the chunks the forward actually processed (its early-exit
     # count, recovered from the transmittance checkpoints on the XLA side),
@@ -408,7 +566,9 @@ def _streamed_bwd_kernel(
 
     @pl.when(n_proc > 0)
     def _():
-        dma(n_proc - 1, jax.lax.rem(n_proc - 1, 2)).start()
+        i0 = n_proc - 1
+        dma_feat(i0, jax.lax.rem(i0, 2), True)
+        dma_grad_read(i0, jax.lax.rem(i0, 2), True)
 
     def body(k, _):
         i = n_proc - 1 - k
@@ -416,72 +576,150 @@ def _streamed_bwd_kernel(
 
         @pl.when(i - 1 >= 0)
         def _():
-            dma(i - 1, jax.lax.rem(i - 1, 2)).start()
+            slot2 = jax.lax.rem(i - 1, 2)
 
-        dma(i, slot).wait()
+            # Before reusing gbuf[slot2] for the (i-1) read, drain the
+            # write of chunk (i+1), which used the same slot.
+            @pl.when(k >= 1)
+            def _():
+                dma_grad_write(i + 1, slot2, False)
 
-        data = buf[slot]
-        alpha, dx, dy, gexp, unclamped = _chunk_alpha_cols(
-            data, px, py, config
+            dma_feat(i - 1, slot2, True)
+            dma_grad_read(i - 1, slot2, True)
+
+        dma_feat(i, slot, False)
+
+        d_chunkA, d_chunkB, m = _bwd_chunk_grads(
+            fbufA[slot], fbufB[slot], tchk_ref[0, i, :][None, :],
+            g, tail[...], px, py, off, count, lane_col, l_incl, u_suf,
+            config, channels, i,
         )
-        j = i * c + lane_col
-        seg = (j >= off) & (j < off + count)
-        alpha = jnp.where(seg, alpha, 0.0)
-        unclamped = unclamped & seg
-        color = data[6 : 6 + channels, :]
 
-        t_start = tchk_ref[0, i, :][None, :]
-        s = jnp.log1p(-alpha)
-        incl = jax.lax.dot_general(
-            l_incl, s, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dma_grad_read(i, slot, False)
+        gbufA[slot] = gbufA[slot] + d_chunkA
+        if d_chunkB is not None:
+            gbufB[slot] = gbufB[slot] + d_chunkB
+        dma_grad_write(i, slot, True)
+
+        tail[...] += jnp.sum(m, axis=0, keepdims=True)
+        return ()
+
+    jax.lax.fori_loop(0, n_proc, body, ())
+
+    # Drain the writes never waited in-loop (chunks 0 and 1): the in-loop
+    # wait covers write(j) for j >= 2 only. This is also the cross-step
+    # ordering barrier for shared boundary windows.
+    @pl.when(n_proc >= 1)
+    def _():
+        dma_grad_write(0, 0, False)
+
+    @pl.when(n_proc >= 2)
+    def _():
+        dma_grad_write(1, 1, False)
+
+
+def _streamed_bwd_blocks_kernel(
+    base_ref,
+    off_ref,
+    counts_ref,
+    tile_ids_ref,
+    nproc_ref,
+    featA_hbm,       # (8, padded) ANY
+    featB_hbm,       # (padded // 128, 128) ANY
+    bg_ref,          # (1, ch, 1)
+    tchk_ref,        # (1, n_chunks, P)
+    tfin_ref,        # (1, 1, P)
+    gimg_ref,        # (1, ch, P)
+    gtf_ref,         # (1, 1, P)
+    dblkA_ref,       # (1, n_chunks, 8, 128) out: per-chunk gradient blocks
+    dblkB_ref,       # (1, n_chunks, 128) out
+    dbg_ref,         # (1, ch, 1) out
+    fbufA,           # VMEM (2, 8, 128)
+    fbufB,           # VMEM (2, 1, 128)
+    tail,            # VMEM (1, P)
+    semFA, semFB,    # DMA sems (2,)
+    *,
+    config: RasterizeConfig,
+    channels: int,
+    tiles_x: int,
+    n_chunks: int,
+):
+    """Block-output backward (mesh path): emits per-(tile, chunk) gradient
+    blocks — pure writes, no cross-step ordering requirement, so the grid
+    can be sharded; one XLA block scatter-add merges boundary windows."""
+    c = config.chunk
+    ts = config.tile_size
+    p = ts * ts
+    dtype = jnp.float32
+    r = pl.program_id(0)
+
+    t_img = tile_ids_ref[r]
+    tx = t_img % tiles_x
+    ty = t_img // tiles_x
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (tx * ts + local % ts).astype(dtype) + 0.5
+    py = (ty * ts + local // ts).astype(dtype) + 0.5
+
+    base = base_ref[r]
+    off = off_ref[r]
+    count = counts_ref[r]
+
+    g = gimg_ref[0]
+    gt = jnp.sum(bg_ref[0] * g, axis=0, keepdims=True) + gtf_ref[0]
+    dbg_ref[0] = jnp.sum(g * tfin_ref[0], axis=1, keepdims=True)
+    tail[...] = tfin_ref[0] * gt
+    dblkA_ref[...] = jnp.zeros((1, n_chunks, _A, c), jnp.float32)
+    dblkB_ref[...] = jnp.zeros((1, n_chunks, c), jnp.float32)
+
+    l_incl = _tri_incl(c, dtype)
+    u_suf = _tri_suffix(c, dtype)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    use_b = channels == 3
+
+    def dma_feat(i, slot, start):
+        copies = [
+            pltpu.make_async_copy(
+                featA_hbm.at[:, pl.ds((base + i) * c, c)],
+                fbufA.at[slot], semFA.at[slot],
+            )
+        ]
+        if use_b:
+            copies.append(pltpu.make_async_copy(
+                featB_hbm.at[pl.ds(base + i, 1), :],
+                fbufB.at[slot], semFB.at[slot],
+            ))
+        for d in copies:
+            d.start() if start else d.wait()
+
+    n_proc = nproc_ref[r]
+
+    @pl.when(n_proc > 0)
+    def _():
+        dma_feat(n_proc - 1, jax.lax.rem(n_proc - 1, 2), True)
+
+    def body(k, _):
+        i = n_proc - 1 - k
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i - 1 >= 0)
+        def _():
+            dma_feat(i - 1, jax.lax.rem(i - 1, 2), True)
+
+        dma_feat(i, slot, False)
+
+        d_chunkA, d_chunkB, m = _bwd_chunk_grads(
+            fbufA[slot], fbufB[slot], tchk_ref[0, i, :][None, :],
+            g, tail[...], px, py, off, count, lane_col, l_incl, u_suf,
+            config, channels, i,
         )
-        t_after = t_start * jnp.exp(incl)
-        alive = (t_after >= config.transmittance_min) & seg
-        one_m = jnp.maximum(1.0 - alpha, 1.0 - config.alpha_clamp)
-        t_before = t_after / one_m
-        wgt = jnp.where(alive, t_before * alpha, 0.0)
-
-        cg = jax.lax.dot_general(
-            color, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (C, P)
-        m = wgt * cg
-        suffix = jax.lax.dot_general(
-            u_suf, m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + tail[...]
-
-        dalpha = jnp.where(alive, t_before * cg - suffix / one_m, 0.0)
-        dalpha = jnp.where(unclamped, dalpha, 0.0)
-
-        op = data[5, :][:, None]
-        dpow = alpha * dalpha
-        ca = data[2, :][:, None]
-        cb = data[3, :][:, None]
-        cc = data[4, :][:, None]
-
-        d_op = jnp.sum(gexp * dalpha, axis=1)[None, :]
-        d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1)[None, :]
-        d_cb = jnp.sum(-dx * dy * dpow, axis=1)[None, :]
-        d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=1)[None, :]
-        d_x0 = jnp.sum((ca * dx + cb * dy) * dpow, axis=1)[None, :]
-        d_y0 = jnp.sum((cc * dy + cb * dx) * dpow, axis=1)[None, :]
-        d_col = jax.lax.dot_general(
-            g, wgt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (ch, C)
-        zeros = jnp.zeros((_F - 6 - channels, c), jnp.float32)
-        d_chunk = jnp.concatenate(
-            [d_x0, d_y0, d_ca, d_cb, d_cc, d_op, d_col, zeros], axis=0
-        )  # (_F, C)
 
         # Pure block write (no RMW): boundary windows shared with
         # adjacent tiles are merged by the XLA scatter-add outside.
-        dblk_ref[0, i] = d_chunk
+        dblkA_ref[0, i] = d_chunkA
+        if d_chunkB is not None:
+            dblkB_ref[0, i] = d_chunkB[0]
 
         tail[...] += jnp.sum(m, axis=0, keepdims=True)
-
         return ()
 
     jax.lax.fori_loop(0, n_proc, body, ())
@@ -495,6 +733,7 @@ def _make_streamed_composite(
     tiles_x: int,
     config: RasterizeConfig,
     interpret: bool,
+    sharded: bool,
 ):
     if config.chunk != 128:
         raise ValueError(
@@ -511,6 +750,7 @@ def _make_streamed_composite(
         )
     n_chunks = config.tile_capacity // config.chunk + 1
     p = config.tile_size**2
+    n_win = padded // 128
 
     fwd_call = pl.pallas_call(
         functools.partial(
@@ -522,6 +762,7 @@ def _make_streamed_composite(
             grid=(rows,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[
@@ -530,9 +771,11 @@ def _make_streamed_composite(
                 pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, _F, 128), jnp.float32),
+                pltpu.VMEM((2, _A, 128), jnp.float32),
+                pltpu.VMEM((2, 1, 128), jnp.float32),
                 pltpu.VMEM((channels, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -544,48 +787,110 @@ def _make_streamed_composite(
         interpret=interpret,
     )
 
-    bwd_call = pl.pallas_call(
-        functools.partial(
-            _streamed_bwd_kernel, config=config, channels=channels,
-            tiles_x=tiles_x, n_chunks=n_chunks,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(rows,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+    if not sharded:
+        # Single-shard backward: in-place RMW gradient accumulation.
+        # Call args: 5 scalar-prefetch (0-4), featA=5, featB=6, bg=7,
+        # tchk=8, tfin=9, gimg=10, gtf=11, gA0=12, gB0=13 -> outputs
+        # gA=0, gB=1, dbg=2.
+        bwd_call = pl.pallas_call(
+            functools.partial(
+                _streamed_bwd_rmw_kernel, config=config, channels=channels,
+                tiles_x=tiles_x, n_chunks=n_chunks,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(rows,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, _A, 128), jnp.float32),
+                    pltpu.VMEM((2, 1, 128), jnp.float32),
+                    pltpu.VMEM((2, _A, 128), jnp.float32),
+                    pltpu.VMEM((2, 1, 128), jnp.float32),
+                    pltpu.VMEM((1, p), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((_A, padded), jnp.float32),
+                jax.ShapeDtypeStruct((n_win, 128), jnp.float32),
+                jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, n_chunks, _F, 128), lambda t, *_: (t, 0, 0, 0)
-                ),
-                pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+            input_output_aliases={12: 0, 13: 1},
+            interpret=interpret,
+        )
+    else:
+        bwd_call = pl.pallas_call(
+            functools.partial(
+                _streamed_bwd_blocks_kernel, config=config,
+                channels=channels, tiles_x=tiles_x, n_chunks=n_chunks,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(rows,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, n_chunks, _A, 128), lambda t, *_: (t, 0, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, n_chunks, 128), lambda t, *_: (t, 0, 0)
+                    ),
+                    pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, _A, 128), jnp.float32),
+                    pltpu.VMEM((2, 1, 128), jnp.float32),
+                    pltpu.VMEM((1, p), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, n_chunks, _A, 128), jnp.float32),
+                jax.ShapeDtypeStruct((rows, n_chunks, 128), jnp.float32),
+                jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, _F, 128), jnp.float32),
-                pltpu.VMEM((1, p), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, n_chunks, _F, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )
+            interpret=interpret,
+        )
     return fwd_call, bwd_call
 
 
-def _shard_rows(call, mesh, n_row_args, n_outs):
+def _shard_rows(call, mesh, specs_in, n_outs):
     """shard_map a streamed pallas call over its leading tile-row axis:
     row-indexed operands (scalar prefetch + per-tile blocks) split over ALL
-    mesh axes, the sorted feature array replicated, outputs row-sharded —
-    the same zero-forward-traffic layout as pallas_impl's tile sharding."""
+    mesh axes, the sorted feature arrays replicated, outputs row-sharded —
+    the same zero-forward-traffic layout as pallas_impl's tile sharding.
+
+    `specs_in`: sequence of "row" / "rep" tags for the call's positional
+    args, in order."""
     from jax import shard_map
     from jax.sharding import PartitionSpec
 
@@ -594,9 +899,7 @@ def _shard_rows(call, mesh, n_row_args, n_outs):
     return shard_map(
         call,
         mesh=mesh,
-        in_specs=tuple(
-            [spec] * n_row_args[0] + [rep] + [spec] * n_row_args[1]
-        ),
+        in_specs=tuple(spec if s == "row" else rep for s in specs_in),
         out_specs=tuple([spec] * n_outs) if n_outs > 1 else spec,
         check_vma=False,
     )
@@ -639,9 +942,10 @@ def composite_streamed_batched(
             color=color, opacity=opacity, valid=valid,
         )
         (
-            feat_sorted, ids_sorted, starts, tiles_x, tiles_y, total_pairs
+            featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
         ) = _pair_sort(scr, image_shape, config)
-        feat_sorted = jax.lax.stop_gradient(feat_sorted)
+        featA = jax.lax.stop_gradient(featA)
+        featB = jax.lax.stop_gradient(featB)
         num_tiles = tiles_x * tiles_y
         rows = b * num_tiles
 
@@ -653,7 +957,7 @@ def composite_streamed_batched(
         # [off, off+count) masking handles off >= 128 exactly (off+count <=
         # n_chunks*128 holds because count <= min(segment remainder, cap)).
         n_chunks = config.tile_capacity // config.chunk + 1
-        max_base = feat_sorted.shape[1] // 128 - n_chunks
+        max_base = featA.shape[1] // 128 - n_chunks
         base = jnp.minimum(starts[:-1] // 128, max_base)
         off = starts[:-1] - base * 128
         tile_ids = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
@@ -667,17 +971,20 @@ def composite_streamed_batched(
             raise ValueError(
                 f"{rows} tile rows not divisible by mesh size {n_shards}"
             )
-        fwd_call, bwd_call = _make_streamed_composite(
-            rows // n_shards, feat_sorted.shape[1], channels, tiles_x,
-            config, interpret,
+        fwd_call, _ = _make_streamed_composite(
+            rows // n_shards, featA.shape[1], channels, tiles_x,
+            config, interpret, n_shards > 1,
         )
         if n_shards > 1:
-            fwd_call = _shard_rows(fwd_call, mesh, (4, 1), 3)
+            fwd_call = _shard_rows(
+                fwd_call, mesh,
+                ["row"] * 4 + ["rep", "rep", "row"], 3,
+            )
         img_tiles, tfin, tchk = fwd_call(
-            base, off, counts, tile_ids, feat_sorted, bg_rows
+            base, off, counts, tile_ids, featA, featB, bg_rows
         )
         res = (
-            feat_sorted, ids_sorted, base, off, counts, tile_ids,
+            featA, featB, ids_sorted, base, off, counts, tile_ids,
             bg_rows, tfin, tchk, tiles_x, total_pairs,
         )
         out = _tiles_to_image(img_tiles, b, tiles_x, tiles_y, channels, ts)
@@ -692,7 +999,7 @@ def composite_streamed_batched(
     def raster_bwd(res_all, g_img):
         res, depth, radius, valid = res_all
         (
-            feat_sorted, ids_sorted, base, off, counts, tile_ids,
+            featA, featB, ids_sorted, base, off, counts, tile_ids,
             bg_rows, tfin, tchk, tiles_x, total_pairs,
         ) = res
         tiles_y = -(-h // ts)
@@ -710,51 +1017,71 @@ def composite_streamed_batched(
         )
 
         interpret = jax.default_backend() != "tpu"
-        padded = feat_sorted.shape[1]
+        padded = featA.shape[1]
+        n_win = padded // 128
         n_shards = 1 if mesh is None else int(
             np.prod(list(mesh.shape.values()))
         )
-        fwd_call, bwd_call = _make_streamed_composite(
-            rows // n_shards, padded, channels, tiles_x, config, interpret
+        _, bwd_call = _make_streamed_composite(
+            rows // n_shards, padded, channels, tiles_x, config,
+            interpret, n_shards > 1,
         )
-        if n_shards > 1:
-            bwd_call = _shard_rows(bwd_call, mesh, (5, 5), 2)
         # Chunks the forward actually processed per tile (its early-exit
         # count): chunk i was processed iff its transmittance checkpoint was
         # written (checkpoints are written pre-compositing and transmittance
         # is strictly positive, so processed <=> max > 0, monotone in i).
+        n_chunks = config.tile_capacity // config.chunk + 1
         nproc = jnp.sum(
             (jnp.max(tchk, axis=2) > 0.0).astype(jnp.int32), axis=1
         )
-        dblk, dbg = bwd_call(
-            base, off, counts, tile_ids, nproc, feat_sorted,
-            bg_rows, tchk, tfin, g_tiles,
-            jnp.zeros((rows, 1, p), jnp.float32),
-        )
-        # Merge the per-(tile, chunk) gradient blocks into sorted order:
-        # adjacent tiles sharing a boundary window accumulate via scatter-add
-        # (~rows * n_chunks block indices — negligible next to a row scatter).
-        n_chunks = config.tile_capacity // config.chunk + 1
-        n_win = padded // 128
-        win = (base[:, None] + jnp.arange(n_chunks, dtype=jnp.int32)[None, :])
-        acc = jnp.zeros((n_win, _F, 128), jnp.float32)
-        acc = acc.at[win.reshape(-1)].add(
-            dblk.reshape(rows * n_chunks, _F, 128)
-        )
-        dfeat_sorted = acc.transpose(1, 0, 2).reshape(_F, padded)
+        gtf = jnp.zeros((rows, 1, p), jnp.float32)
+        if n_shards == 1:
+            dA, dB, dbg = bwd_call(
+                base, off, counts, tile_ids, nproc, featA, featB,
+                bg_rows, tchk, tfin, g_tiles, gtf,
+                jnp.zeros((_A, padded), jnp.float32),
+                jnp.zeros((n_win, 128), jnp.float32),
+            )
+        else:
+            sharded = _shard_rows(
+                bwd_call, mesh,
+                ["row"] * 5 + ["rep", "rep"] + ["row"] * 5, 3,
+            )
+            dblkA, dblkB, dbg = sharded(
+                base, off, counts, tile_ids, nproc, featA, featB,
+                bg_rows, tchk, tfin, g_tiles, gtf,
+            )
+            # Merge the per-(tile, chunk) gradient blocks into sorted order:
+            # adjacent tiles sharing a boundary window accumulate via
+            # scatter-add (~rows * n_chunks block indices — negligible next
+            # to a row scatter).
+            win = (
+                base[:, None]
+                + jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
+            accA = jnp.zeros((n_win, _A, 128), jnp.float32)
+            accA = accA.at[win].add(
+                dblkA.reshape(rows * n_chunks, _A, 128)
+            )
+            dA = accA.transpose(1, 0, 2).reshape(_A, padded)
+            accB = jnp.zeros((n_win, 128), jnp.float32)
+            dB = accB.at[win].add(dblkB.reshape(rows * n_chunks, 128))
 
         # Unsort: ONE sort keyed on carried pair ids restores original pair
         # order; a reshape-sum over dup slots gives per-gaussian grads.
         # The first total_pairs sorted rows are exactly the real pairs (pad
-        # rows carry key INT32_MAX and sit stably after every real row).
+        # rows carry key INT32_MAX and sit after every real row).
         total = total_pairs
-        cols = [dfeat_sorted[k, :total] for k in range(6 + channels)]
+        n_feat = 6 + channels
+        cols = [dA[k, :total] for k in range(min(n_feat, _A))]
+        if channels == 3:
+            cols.append(dB.reshape(padded)[:total])
         unsorted = jax.lax.sort(
             (ids_sorted,) + tuple(cols),
             num_keys=1, is_stable=False,  # pair ids are unique
         )
         d = jnp.stack(unsorted[1:], axis=-1)  # (total, 6+ch) in pair order
-        d = d.reshape(b, n, max_dup, 6 + channels).sum(axis=2)
+        d = d.reshape(b, n, max_dup, n_feat).sum(axis=2)
         d_xy = d[..., 0:2]
         d_conic = d[..., 2:5]
         d_op = d[..., 5]
