@@ -63,6 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import tile_bounds, _depth_sort_key, _INT32_MAX
+from .compact import banded_dup_reduce, compact_pairs
 from .pallas_impl import _tri_incl, _tri_suffix
 from .types import RasterizeConfig, ScreenGaussians
 
@@ -220,6 +221,88 @@ def _pair_sort(
     return (
         featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
     )
+
+
+def _pair_sort_compacted(
+    screen: ScreenGaussians,
+    image_shape: tuple[int, int],
+    config: RasterizeConfig,
+):
+    """Compacted variant of `_pair_sort`: expand + compact candidates to
+    a static budget (compact.py), then run the SAME keyed sorts over the
+    budget rows (~2x fewer on PF3plat scenes; lax.sort cost scales with
+    rows x operands). Composite order is identical — the carried pair
+    ids reproduce the uncompacted tie order exactly.
+
+    Returns (featA, featB, ids_sorted, starts, tiles_x, tiles_y, budget).
+    """
+    h, w = image_shape
+    ts = config.tile_size
+    tiles_x = -(-w // ts)
+    tiles_y = -(-h // ts)
+    num_tiles = tiles_x * tiles_y
+    b, n = screen.depth.shape
+    total_tiles = b * num_tiles
+    channels = screen.color.shape[-1]
+
+    cp = compact_pairs(screen, image_shape, config)
+    budget = cp["budget"]
+    feats = tuple(cp["feats"][: 6 + channels])
+
+    if config.fused_sort_key:
+        fused = jnp.where(
+            cp["tile"] == _INT32_MAX,
+            _INT32_MAX,
+            (cp["tile"] << cp["bits_d"]) | cp["dkey"],
+        )
+        sorted_ops = jax.lax.sort(
+            (fused, cp["ids"]) + feats, num_keys=2, is_stable=False
+        )
+        key_sorted = sorted_ops[0]
+        tile_sorted = jnp.where(
+            key_sorted == _INT32_MAX,
+            _INT32_MAX,
+            jax.lax.shift_right_logical(key_sorted, cp["bits_d"]),
+        )
+        ids_sorted = sorted_ops[1]
+        feats_sorted = sorted_ops[2:]
+    else:
+        sorted_ops = jax.lax.sort(
+            (cp["tile"], cp["dkey"], cp["ids"]) + feats,
+            num_keys=3, is_stable=False,
+        )
+        tile_sorted = sorted_ops[0]
+        ids_sorted = sorted_ops[2]
+        feats_sorted = sorted_ops[3:]
+
+    # Segment starts: same fixed-iteration binary search as _pair_sort.
+    targets = jnp.arange(total_tiles + 1, dtype=jnp.int32)
+    lo = jnp.zeros((total_tiles + 1,), jnp.int32)
+    hi = jnp.full((total_tiles + 1,), budget, jnp.int32)
+    for _ in range(max(1, int(budget).bit_length())):
+        mid = (lo + hi) // 2
+        v = tile_sorted[jnp.minimum(mid, budget - 1)]
+        ge = (v >= targets) | (mid >= budget)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    starts = lo
+
+    n_chunks = config.tile_capacity // config.chunk + 1
+    if budget < n_chunks * 128:
+        raise ValueError(
+            f"pairs budget {budget} smaller than one tile window "
+            f"({n_chunks * 128} rows); raise pairs_budget_factor or "
+            "compact_window"
+        )
+    cols = list(feats_sorted)
+    a_cols = cols[:_A]
+    a_cols += [jnp.zeros((budget,), jnp.float32)] * (_A - len(a_cols))
+    featA = jnp.stack(a_cols, axis=0)  # (8, budget)
+    if channels == 3:
+        featB = cols[_A].reshape(budget // 128, 128)
+    else:
+        featB = jnp.zeros((budget // 128, 128), jnp.float32)
+    return featA, featB, ids_sorted, starts, tiles_x, tiles_y, budget
 
 
 def _chunk_alpha_cols(data, px, py, config):
@@ -941,9 +1024,14 @@ def composite_streamed_batched(
             xy=xy, depth=depth, conic=conic, radius=radius,
             color=color, opacity=opacity, valid=valid,
         )
+        pair_sort = (
+            _pair_sort_compacted
+            if config.pairs_budget_factor > 0
+            else _pair_sort
+        )
         (
             featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
-        ) = _pair_sort(scr, image_shape, config)
+        ) = pair_sort(scr, image_shape, config)
         featA = jax.lax.stop_gradient(featA)
         featB = jax.lax.stop_gradient(featB)
         num_tiles = tiles_x * tiles_y
@@ -1068,9 +1156,9 @@ def composite_streamed_batched(
             dB = accB.at[win].add(dblkB.reshape(rows * n_chunks, 128))
 
         # Unsort: ONE sort keyed on carried pair ids restores original pair
-        # order; a reshape-sum over dup slots gives per-gaussian grads.
-        # The first total_pairs sorted rows are exactly the real pairs (pad
-        # rows carry key INT32_MAX and sit after every real row).
+        # order. The first total_pairs sorted rows are exactly the real
+        # pairs (pad rows carry key INT32_MAX and sit after every real
+        # row).
         total = total_pairs
         n_feat = 6 + channels
         cols = [dA[k, :total] for k in range(min(n_feat, _A))]
@@ -1078,10 +1166,26 @@ def composite_streamed_batched(
             cols.append(dB.reshape(padded)[:total])
         unsorted = jax.lax.sort(
             (ids_sorted,) + tuple(cols),
-            num_keys=1, is_stable=False,  # pair ids are unique
+            # Real pair ids are unique; compacted-path pad rows share
+            # INT32_MAX but carry identical all-zero payloads, so the
+            # unstable sort stays deterministic in value.
+            num_keys=1, is_stable=False,
         )
-        d = jnp.stack(unsorted[1:], axis=-1)  # (total, 6+ch) in pair order
-        d = d.reshape(b, n, max_dup, n_feat).sum(axis=2)
+        if config.pairs_budget_factor > 0:
+            # Variable surviving pairs per gaussian: banded id-driven
+            # reduce instead of the fixed reshape-sum (compact.py).
+            ids_u = unsorted[0]
+            ids_bits = jax.lax.bitcast_convert_type(ids_u, jnp.float32)
+            rows = [ids_bits] + list(unsorted[1:])
+            rows += [jnp.zeros((total,), jnp.float32)] * (16 - len(rows))
+            plane = jnp.stack(rows, axis=0)  # (16, budget)
+            red = banded_dup_reduce(plane, ids_u, b * n, max_dup)
+            d = jnp.stack(
+                [red[1 + i] for i in range(n_feat)], axis=-1
+            ).reshape(b, n, n_feat)
+        else:
+            d = jnp.stack(unsorted[1:], axis=-1)  # (total, 6+ch)
+            d = d.reshape(b, n, max_dup, n_feat).sum(axis=2)
         d_xy = d[..., 0:2]
         d_conic = d[..., 2:5]
         d_op = d[..., 5]

@@ -55,6 +55,19 @@ class RasterizeConfig:
     #                  relayout; features sit on (128-padded) lanes inside
     #                  the kernel. Numerically identical; pick by measuring.
     table_layout: str = "f_major"
+    # Compact candidate pairs before the binning sort (streamed pipeline
+    # only; see compact.py): only `pairs_budget_factor * b*n*max_dup`
+    # rows — rounded up to `compact_window` — ride the two big sorts
+    # instead of the full static expansion. 0.0 disables compaction.
+    # PF3plat scenes measure ~47% real-pair occupancy (most gaussians
+    # cover 1-2 tiles of a 2x2 candidate box), so 0.55 keeps headroom
+    # while halving the sorts; if a scene overflows the budget, the
+    # candidate tail is dropped deterministically (gradients stay
+    # correct, just truncated) — raise the factor for gaussian-dense
+    # scenes or set 0.0 for the exact static expansion.
+    pairs_budget_factor: float = 0.0
+    # Candidate rows per compaction grid step (multiple of 128).
+    compact_window: int = 4096
     near_cull: float = 0.2
     dilation: float = 0.3
     alpha_clamp: float = 0.99

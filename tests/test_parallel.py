@@ -120,16 +120,22 @@ class TestTileShardedRender:
             np.asarray(sh_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
         )
 
-    def test_streamed_mesh_path_matches_unsharded(self):
+    @pytest.mark.parametrize("budget_factor", [0.0, 1.0])
+    def test_streamed_mesh_path_matches_unsharded(self, budget_factor):
         """The fast streamed pipeline under a (data=2, tile=4) mesh
-        reproduces the unsharded streamed render and its gradients."""
+        reproduces the unsharded streamed render and its gradients —
+        with and without pair compaction (compact.py runs replicated
+        outside the shard_map; only the compositing rows shard)."""
         import sys
         sys.path.insert(0, "tests")
         from test_rasterizer import make_scene
 
         from pf3plat_tpu.ops.rasterizer import RasterizeConfig, render
 
-        cfg = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=128)
+        cfg = RasterizeConfig(
+            tile_size=16, tile_capacity=256, chunk=128,
+            pairs_budget_factor=budget_factor, compact_window=512,
+        )
         rng = np.random.default_rng(4)
         scene = make_scene(rng, n=96, b=2)
         mesh = make_mesh(MeshCfg(data_axis=2, tile_axis=4))

@@ -70,12 +70,16 @@ def main() -> None:
 
     base_cap = 1024 if side >= 256 else 256
     cap = base_cap * (tile_size * tile_size) // 256
+    budget_factor = float(os.environ.get("PF3PLAT_BUDGET_FACTOR", "0"))
+    compact_window = int(os.environ.get("PF3PLAT_COMPACT_WINDOW", "4096"))
     cfg = DecoderCfg(
         impl=impl,
         raster=RasterizeConfig(
             tile_size=tile_size,
             tile_capacity=cap,
             chunk=128,
+            pairs_budget_factor=budget_factor,
+            compact_window=compact_window,
         ),
     )
 
@@ -99,6 +103,8 @@ def main() -> None:
     rays = b * v * h * w
     rec = {
         "impl": impl,
+        "budget_factor": budget_factor,
+        "compact_window": compact_window,
         "tile_size": tile_size,
         "side": side,
         "ms_per_frame": round(dt * 1e3, 3),
