@@ -268,12 +268,15 @@ def pairs_budget(config: RasterizeConfig, b: int, n: int) -> int:
     total = b * n * config.max_dup
     c0 = config.compact_window
     cx = c0 + 128
+    # Quantum: the 128 DMA tiling AND the compositing chunk (featB is
+    # reshaped to (budget // chunk, chunk) windows downstream).
+    q = max(128, config.chunk)
 
-    def up128(x):
-        return -(-x // 128) * 128
+    def up(x):
+        return -(-x // q) * q
 
-    want = up128(int(total * config.pairs_budget_factor)) + cx
-    return max(cx + 128, min(want, up128(total) + cx))
+    want = up(int(total * config.pairs_budget_factor) + cx)
+    return max(up(cx + 128), min(want, up(total + cx)))
 
 
 def compact_pairs(
@@ -461,9 +464,14 @@ def _banded_reduce_kernel(
         + r * g1
     )
     sel = (owner == g).astype(jnp.float32)               # (g1, W)
+    # HIGHEST: full-f32 MXU passes. sel is exactly 0/1, so each output is
+    # an exact sum of <= max_dup unaltered f32 gradients — measured on
+    # chip, the default (bf16 single-pass) loses ~2^-11 relative and
+    # fails the oracle gradient gates.
     out_ref[...] = jax.lax.dot_general(
         win[slot], sel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -205,8 +205,9 @@ def _pair_sort(
     # [base*128, (base+n_chunks)*128) stays in bounds — the kernel's
     # absolute [off, off+count) masking is exact for any off, so a clamped
     # window composites identically.
-    n_chunks = config.tile_capacity // config.chunk + 1
-    padded = max(-(-total_pairs // 128), n_chunks) * 128
+    c = config.chunk
+    n_chunks = config.tile_capacity // c + 1
+    padded = max(-(-total_pairs // c), n_chunks) * c
     if padded == total_pairs:
         cols = list(feats_sorted)
     else:
@@ -215,9 +216,9 @@ def _pair_sort(
     a_cols += [jnp.zeros((padded,), a_cols[0].dtype)] * (_A - len(a_cols))
     featA = jnp.stack(a_cols, axis=0)  # (8, padded)
     if channels == 3:
-        featB = cols[_A].reshape(padded // 128, 128)  # free: a reshape
+        featB = cols[_A].reshape(padded // c, c)  # free: a reshape
     else:
-        featB = jnp.zeros((padded // 128, 128), jnp.float32)
+        featB = jnp.zeros((padded // c, c), jnp.float32)
     return (
         featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
     )
@@ -287,21 +288,22 @@ def _pair_sort_compacted(
         lo = jnp.where(ge, lo, mid + 1)
     starts = lo
 
-    n_chunks = config.tile_capacity // config.chunk + 1
-    if budget < n_chunks * 128:
+    c = config.chunk
+    n_chunks = config.tile_capacity // c + 1
+    if budget < n_chunks * c or budget % c:
         raise ValueError(
-            f"pairs budget {budget} smaller than one tile window "
-            f"({n_chunks * 128} rows); raise pairs_budget_factor or "
-            "compact_window"
+            f"pairs budget {budget} must be a chunk multiple covering one "
+            f"tile window ({n_chunks * c} rows); raise pairs_budget_factor "
+            "or compact_window"
         )
     cols = list(feats_sorted)
     a_cols = cols[:_A]
     a_cols += [jnp.zeros((budget,), jnp.float32)] * (_A - len(a_cols))
     featA = jnp.stack(a_cols, axis=0)  # (8, budget)
     if channels == 3:
-        featB = cols[_A].reshape(budget // 128, 128)
+        featB = cols[_A].reshape(budget // c, c)
     else:
-        featB = jnp.zeros((budget // 128, 128), jnp.float32)
+        featB = jnp.zeros((budget // c, c), jnp.float32)
     return featA, featB, ids_sorted, starts, tiles_x, tiles_y, budget
 
 
@@ -356,7 +358,7 @@ def _streamed_fwd_kernel(
     tiles_x: int,
     n_chunks: int,
 ):
-    c = config.chunk  # == 128
+    c = config.chunk  # multiple of 128
     ts = config.tile_size
     p = ts * ts
     dtype = jnp.float32
@@ -818,22 +820,23 @@ def _make_streamed_composite(
     interpret: bool,
     sharded: bool,
 ):
-    if config.chunk != 128:
+    if config.chunk % 128 or config.chunk <= 0:
         raise ValueError(
-            "the streamed pipeline requires chunk == 128 (DMA window "
-            f"granularity); got {config.chunk}"
+            "the streamed pipeline requires chunk to be a positive "
+            f"multiple of 128 (DMA window tiling); got {config.chunk}"
         )
     if config.tile_capacity % config.chunk != 0:
         raise ValueError(
             "the streamed pipeline requires tile_capacity to be a multiple "
-            f"of chunk (128): a capacity like {config.tile_capacity} would "
+            f"of chunk ({config.chunk}): a capacity like {config.tile_capacity} would "
             "silently composite fewer gaussians than min(segment, capacity) "
             "whenever a segment's 128-aligned window cannot cover both the "
             "start offset and the full capacity"
         )
-    n_chunks = config.tile_capacity // config.chunk + 1
+    c = config.chunk
+    n_chunks = config.tile_capacity // c + 1
     p = config.tile_size**2
-    n_win = padded // 128
+    n_win = padded // c
 
     fwd_call = pl.pallas_call(
         functools.partial(
@@ -854,8 +857,8 @@ def _make_streamed_composite(
                 pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, _A, 128), jnp.float32),
-                pltpu.VMEM((2, 1, 128), jnp.float32),
+                pltpu.VMEM((2, _A, c), jnp.float32),
+                pltpu.VMEM((2, 1, c), jnp.float32),
                 pltpu.VMEM((channels, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -900,10 +903,10 @@ def _make_streamed_composite(
                     pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, _A, 128), jnp.float32),
-                    pltpu.VMEM((2, 1, 128), jnp.float32),
-                    pltpu.VMEM((2, _A, 128), jnp.float32),
-                    pltpu.VMEM((2, 1, 128), jnp.float32),
+                    pltpu.VMEM((2, _A, c), jnp.float32),
+                    pltpu.VMEM((2, 1, c), jnp.float32),
+                    pltpu.VMEM((2, _A, c), jnp.float32),
+                    pltpu.VMEM((2, 1, c), jnp.float32),
                     pltpu.VMEM((1, p), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
@@ -915,7 +918,7 @@ def _make_streamed_composite(
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((_A, padded), jnp.float32),
-                jax.ShapeDtypeStruct((n_win, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_win, c), jnp.float32),
                 jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
             ],
             input_output_aliases={12: 0, 13: 1},
@@ -941,24 +944,24 @@ def _make_streamed_composite(
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (1, n_chunks, _A, 128), lambda t, *_: (t, 0, 0, 0)
+                        (1, n_chunks, _A, c), lambda t, *_: (t, 0, 0, 0)
                     ),
                     pl.BlockSpec(
-                        (1, n_chunks, 128), lambda t, *_: (t, 0, 0)
+                        (1, n_chunks, c), lambda t, *_: (t, 0, 0)
                     ),
                     pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, _A, 128), jnp.float32),
-                    pltpu.VMEM((2, 1, 128), jnp.float32),
+                    pltpu.VMEM((2, _A, c), jnp.float32),
+                    pltpu.VMEM((2, 1, c), jnp.float32),
                     pltpu.VMEM((1, p), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((rows, n_chunks, _A, 128), jnp.float32),
-                jax.ShapeDtypeStruct((rows, n_chunks, 128), jnp.float32),
+                jax.ShapeDtypeStruct((rows, n_chunks, _A, c), jnp.float32),
+                jax.ShapeDtypeStruct((rows, n_chunks, c), jnp.float32),
                 jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
             ],
             interpret=interpret,
@@ -1044,10 +1047,11 @@ def composite_streamed_batched(
         # inside the (barely padded) feature array; the kernels' absolute
         # [off, off+count) masking handles off >= 128 exactly (off+count <=
         # n_chunks*128 holds because count <= min(segment remainder, cap)).
-        n_chunks = config.tile_capacity // config.chunk + 1
-        max_base = featA.shape[1] // 128 - n_chunks
-        base = jnp.minimum(starts[:-1] // 128, max_base)
-        off = starts[:-1] - base * 128
+        ck = config.chunk
+        n_chunks = config.tile_capacity // ck + 1
+        max_base = featA.shape[1] // ck - n_chunks
+        base = jnp.minimum(starts[:-1] // ck, max_base)
+        off = starts[:-1] - base * ck
         tile_ids = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
         bg_rows = jnp.repeat(bg, num_tiles, axis=0)[..., None]
 
@@ -1106,7 +1110,8 @@ def composite_streamed_batched(
 
         interpret = jax.default_backend() != "tpu"
         padded = featA.shape[1]
-        n_win = padded // 128
+        ck = config.chunk
+        n_win = padded // ck
         n_shards = 1 if mesh is None else int(
             np.prod(list(mesh.shape.values()))
         )
@@ -1128,7 +1133,7 @@ def composite_streamed_batched(
                 base, off, counts, tile_ids, nproc, featA, featB,
                 bg_rows, tchk, tfin, g_tiles, gtf,
                 jnp.zeros((_A, padded), jnp.float32),
-                jnp.zeros((n_win, 128), jnp.float32),
+                jnp.zeros((n_win, ck), jnp.float32),
             )
         else:
             sharded = _shard_rows(
@@ -1147,13 +1152,13 @@ def composite_streamed_batched(
                 base[:, None]
                 + jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
             ).reshape(-1)
-            accA = jnp.zeros((n_win, _A, 128), jnp.float32)
+            accA = jnp.zeros((n_win, _A, ck), jnp.float32)
             accA = accA.at[win].add(
-                dblkA.reshape(rows * n_chunks, _A, 128)
+                dblkA.reshape(rows * n_chunks, _A, ck)
             )
             dA = accA.transpose(1, 0, 2).reshape(_A, padded)
-            accB = jnp.zeros((n_win, 128), jnp.float32)
-            dB = accB.at[win].add(dblkB.reshape(rows * n_chunks, 128))
+            accB = jnp.zeros((n_win, ck), jnp.float32)
+            dB = accB.at[win].add(dblkB.reshape(rows * n_chunks, ck))
 
         # Unsort: ONE sort keyed on carried pair ids restores original pair
         # order. The first total_pairs sorted rows are exactly the real

@@ -230,6 +230,41 @@ class TestCompactParity:
         assert bool(jnp.all(jnp.isfinite(img)))
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_chunk_256_matches_chunk_128(self):
+        """chunk=256 composites the same prefixes; only the triangular-
+        matmul partitioning (f32 reassociation) differs."""
+        rng = np.random.default_rng(41)
+        scene = make_scene(rng, n=300, b=2)
+        shape = (48, 64)
+
+        def loss(m, cfg):
+            img = render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], shape, scene["background"], m,
+                scene["covariances"], scene["sh"], scene["opacities"],
+                impl="streamed", config=cfg,
+            )
+            return jnp.sum(img ** 2), img
+
+        cfgs = [
+            _cfg(tile_capacity=512, chunk=c, pairs_budget_factor=f)
+            for c, f in [(128, 0.0), (256, 0.0), (256, 1.0)]
+        ]
+        outs = [
+            jax.value_and_grad(lambda m: loss(m, cfg), has_aux=True)(
+                scene["means"]
+            )
+            for cfg in cfgs
+        ]
+        (_, img0), g0 = outs[0]
+        for (_, img), g in outs[1:]:
+            np.testing.assert_allclose(
+                np.asarray(img), np.asarray(img0), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(g0), rtol=1e-4, atol=1e-4
+            )
+
     def test_depth_one_channel(self):
         """channels == 1 (depth splatting path) through compaction."""
         from pf3plat_tpu.ops.rasterizer import render_depth

@@ -70,6 +70,7 @@ def main() -> None:
 
     base_cap = 1024 if side >= 256 else 256
     cap = base_cap * (tile_size * tile_size) // 256
+    chunk = int(os.environ.get("PF3PLAT_BENCH_CHUNK", "128"))
     budget_factor = float(os.environ.get("PF3PLAT_BUDGET_FACTOR", "0"))
     compact_window = int(os.environ.get("PF3PLAT_COMPACT_WINDOW", "4096"))
     cfg = DecoderCfg(
@@ -77,7 +78,7 @@ def main() -> None:
         raster=RasterizeConfig(
             tile_size=tile_size,
             tile_capacity=cap,
-            chunk=128,
+            chunk=chunk,
             pairs_budget_factor=budget_factor,
             compact_window=compact_window,
         ),
@@ -103,6 +104,7 @@ def main() -> None:
     rays = b * v * h * w
     rec = {
         "impl": impl,
+        "chunk": chunk,
         "budget_factor": budget_factor,
         "compact_window": compact_window,
         "tile_size": tile_size,
