@@ -21,10 +21,19 @@ from ..ops.rasterizer import (
     render,
     render_depth,
 )
-from ..ops.rasterizer.api import DEFAULT_CONFIG
 from .types import DecoderOutput, Gaussians
 
 Array = jax.Array
+
+# Production rasterizer config: streamed pipeline with pair compaction on
+# (v5e-measured 27.6 -> 22.9 ms fwd+bwd on the bench scene at factor
+# 0.55). 0.65 covers PF3plat's measured ~47% real-pair occupancy with
+# ~37% headroom; scenes that still overflow truncate deterministically
+# (see ops/rasterizer/compact.py) — raise the factor (or set 0.0 for the
+# exact static expansion) for gaussian-dense content. Scenes under
+# compact_min_pairs candidates keep the exact expansion automatically.
+# The library-level `render()` default stays exact (factor 0.0).
+PRODUCTION_CONFIG = RasterizeConfig(pairs_budget_factor=0.65)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,7 +44,7 @@ class DecoderCfg:
     # "pallas" (dense-table) and "tiled" (pure XLA) remain as alternates;
     # "bruteforce" is the test oracle.
     impl: str = "streamed"
-    raster: RasterizeConfig = DEFAULT_CONFIG
+    raster: RasterizeConfig = PRODUCTION_CONFIG
 
 
 def decode(

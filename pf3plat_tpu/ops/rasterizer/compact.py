@@ -423,7 +423,7 @@ def _banded_reduce_kernel(
                     # in 128-row TILES (Mosaic needs provably aligned
                     # lane-dim DMA offsets: base * 128)
     grads_hbm,      # (16, budget) ANY: ascending-pair-id gradient plane
-    out_ref,        # (16, G1) VMEM out block: per-gaussian sums
+    out_ref,        # (16, T*G1) VMEM out block: per-gaussian sums
     win,            # VMEM (2, 16, W) double buffer
     sem,            # DMA sem (2,)
     *,
@@ -431,9 +431,9 @@ def _banded_reduce_kernel(
     g1: int,
     max_dup: int,
     n_blocks: int,
+    t_step: int,
 ):
     r = pl.program_id(0)
-    slot = jax.lax.rem(r, 2)
 
     def dma(i, s):
         return pltpu.make_async_copy(
@@ -441,45 +441,54 @@ def _banded_reduce_kernel(
             win.at[s], sem.at[s],
         )
 
-    @pl.when(r == 0)
-    def _():
-        dma(0, 0).start()
+    # `t_step` blocks per grid step (amortizes the per-step pipeline
+    # machinery); the 2-slot prefetch ring spans sub-blocks AND grid
+    # steps (semaphores persist across the sequential grid).
+    for t in range(t_step):
+        bb = r * t_step + t
+        slot = jax.lax.rem(bb, 2)
 
-    @pl.when(r + 1 < n_blocks)
-    def _():
-        dma(r + 1, jax.lax.rem(r + 1, 2)).start()
+        @pl.when(bb == 0)
+        def _():
+            dma(0, 0).start()
 
-    dma(r, slot).wait()
+        @pl.when(bb + 1 < n_blocks)
+        def _():
+            dma(bb + 1, jax.lax.rem(bb + 1, 2)).start()
 
-    # Ownership from the carried (bitcast) pair ids: window row j belongs
-    # to gaussian id // max_dup. Pad rows carry INT32_MAX ids whose owner
-    # is out of range, so they never select (which also makes clamped
-    # windows and overflow-dropped pairs exact). NOTE the ids row does
-    # ride the matmul below as NaN-ish bit patterns — harmless, matmul
-    # rows are independent and output row _GROW_ID is discarded.
-    ids = win[slot][_GROW_ID : _GROW_ID + 1, :]          # (1, W) f32 bits
-    owner = jax.lax.bitcast_convert_type(ids, jnp.int32) // max_dup
-    g = (
-        jax.lax.broadcasted_iota(jnp.int32, (g1, w_rows), 0)
-        + r * g1
-    )
-    sel = (owner == g).astype(jnp.float32)               # (g1, W)
-    # HIGHEST: full-f32 MXU passes. sel is exactly 0/1, so each output is
-    # an exact sum of <= max_dup unaltered f32 gradients — measured on
-    # chip, the default (bf16 single-pass) loses ~2^-11 relative and
-    # fails the oracle gradient gates.
-    out_ref[...] = jax.lax.dot_general(
-        win[slot], sel, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        dma(bb, slot).wait()
+
+        # Ownership from the carried (bitcast) pair ids: window row j
+        # belongs to gaussian id // max_dup. Pad rows carry INT32_MAX
+        # ids whose owner is out of range, so they never select (which
+        # also makes clamped windows and overflow-dropped pairs exact).
+        # NOTE the ids row does ride the matmul below as NaN-ish bit
+        # patterns — harmless, matmul rows are independent and output
+        # row _GROW_ID is discarded.
+        ids = win[slot][_GROW_ID : _GROW_ID + 1, :]      # (1, W) f32 bits
+        owner = jax.lax.bitcast_convert_type(ids, jnp.int32) // max_dup
+        g = (
+            jax.lax.broadcasted_iota(jnp.int32, (g1, w_rows), 0)
+            + bb * g1
+        )
+        sel = (owner == g).astype(jnp.float32)           # (g1, W)
+        # HIGHEST: full-f32 MXU passes. sel is exactly 0/1, so each
+        # output is an exact sum of <= max_dup unaltered f32 gradients —
+        # measured on chip, the default (bf16 single-pass) loses ~2^-11
+        # relative and fails the oracle gradient gates.
+        out_ref[:, t * g1 : (t + 1) * g1] = jax.lax.dot_general(
+            win[slot], sel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
 
 @functools.lru_cache(maxsize=16)
 def _make_banded_reduce(
-    n_gauss: int, budget: int, g1: int, max_dup: int, interpret: bool
+    n_gauss: int, budget: int, g1: int, max_dup: int, t_step: int,
+    interpret: bool,
 ):
-    assert n_gauss % g1 == 0
+    assert n_gauss % (g1 * t_step) == 0
     n_blocks = n_gauss // g1
     # +128: window bases are rounded DOWN to the 128 tiling, so one extra
     # tile keeps the block's runs covered.
@@ -488,13 +497,15 @@ def _make_banded_reduce(
     return pl.pallas_call(
         functools.partial(
             _banded_reduce_kernel, w_rows=w_rows, g1=g1,
-            max_dup=max_dup, n_blocks=n_blocks,
+            max_dup=max_dup, n_blocks=n_blocks, t_step=t_step,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_blocks,),
+            grid=(n_blocks // t_step,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-            out_specs=pl.BlockSpec((_R, g1), lambda bk, *_: (0, bk)),
+            out_specs=pl.BlockSpec(
+                (_R, t_step * g1), lambda bk, *_: (0, bk)
+            ),
             scratch_shapes=[
                 pltpu.VMEM((2, _R, w_rows), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -529,7 +540,11 @@ def banded_dup_reduce(
             f"pairs budget {budget} too small for the banded reduce "
             f"(needs >= {lane_q * max_dup + 128} rows)"
         )
-    n_pad = n_gauss if n_gauss % g1 == 0 else n_gauss + g1 - n_gauss % g1
+    t_step = 4
+    quant = g1 * t_step
+    n_pad = n_gauss if n_gauss % quant == 0 else (
+        n_gauss + quant - n_gauss % quant
+    )
     n_blocks = n_pad // g1
     w_rows = g1 * max_dup + 128
 
@@ -552,6 +567,8 @@ def banded_dup_reduce(
     base_t = jnp.minimum(lo // 128, jnp.int32((budget - w_rows) // 128))
 
     interpret = jax.default_backend() != "tpu"
-    call = _make_banded_reduce(n_pad, budget, g1, max_dup, interpret)
+    call = _make_banded_reduce(
+        n_pad, budget, g1, max_dup, t_step, interpret
+    )
     out = call(base_t, grads)
     return out[:, :n_gauss]

@@ -34,13 +34,12 @@ sort as sort payload operands, after which every downstream access is
      original pair order, and a reshape-sum over the max_dup axis yields
      per-gaussian gradients — replacing a row scatter-add entirely.
 
-Feature layout (measured): channels are split into an 8-row stacked plane
-`featA = [x, y, ca, cb, cc, op, c0, c1]` — every chunk window is ONE
-512-byte-aligned strided DMA of exactly 8 sublanes, the f32 tile height,
-with zero padding waste — plus a flat `featB = c2` plane whose windows are
-contiguous (1, 128) rows. The previous (16, padded) stack wasted 7/16 of
-the DMA bytes and cost a measured 1.5 ms to materialize; `featB` costs
-nothing (it is the sort output reshaped).
+Feature layout (measured, round 4): ONE 9-row stacked plane
+`featP = [x, y, ca, cb, cc, op, c0, c1, c2]`, one strided DMA per chunk
+window. The DMA start/wait ops themselves are the kernels' dominant cost
+(~1 us of scalar-core time per chunk, independent of prefetch depth), so
+halving the op count beat the earlier tile-height-aligned featA(8) +
+featB(c2) split despite the 9-sublane stride.
 
 Same capacity/ordering semantics as the dense-table pipeline (count =
 min(segment, tile_capacity), fused or exact 2-key sort), so the oracle
@@ -69,11 +68,14 @@ from .types import RasterizeConfig, ScreenGaussians
 
 Array = jax.Array
 
-# featA sublane rows: [x, y, ca, cb, cc, op, c0, c1] — exactly the f32 VMEM
-# tile height, so every (8, 128) chunk window is a 512-byte-aligned strided
-# DMA with zero padding waste. Channels beyond 2 live in the flat featB
-# plane ((n_windows, 128) contiguous rows).
-_A = 8
+# Feature plane sublane rows: [x, y, ca, cb, cc, op, c0, c1, c2] + 7 zero
+# pad rows (Mosaic DMA slices must be 8-sublane aligned). One DMA per
+# chunk window: a measured ~40% of the compositing kernels' time is the
+# DMA start/wait ops themselves (scalar-core execution, ~1 us per chunk
+# regardless of prefetch depth), so ONE 16-row window per chunk beats the
+# earlier featA(8) + featB(c2) two-window split — the 7/16 pad bytes cost
+# ~0.02 ms of HBM bandwidth against ~1.5 ms of saved op time.
+_F = 16
 
 
 def _pair_sort(
@@ -83,8 +85,8 @@ def _pair_sort(
 ):
     """Expand gaussians into (tile, depth)-sorted pairs CARRYING features.
 
-    Returns (featA (8, padded), featB (padded // 128, 128), ids_sorted
-    (padded,), starts (bT+1,), tiles_x, tiles_y, total_pairs). Identical
+    Returns (featP (9, padded), ids_sorted (padded,), starts (bT+1,),
+    tiles_x, tiles_y, total_pairs). Identical
     key construction (and thus identical compositing order/capacity
     semantics) to `binning.bin_gaussians_batched`.
     """
@@ -212,15 +214,18 @@ def _pair_sort(
         cols = list(feats_sorted)
     else:
         cols = [jnp.pad(f, (0, padded - total_pairs)) for f in feats_sorted]
-    a_cols = cols[:_A]
-    a_cols += [jnp.zeros((padded,), a_cols[0].dtype)] * (_A - len(a_cols))
-    featA = jnp.stack(a_cols, axis=0)  # (8, padded)
-    if channels == 3:
-        featB = cols[_A].reshape(padded // c, c)  # free: a reshape
-    else:
-        featB = jnp.zeros((padded // c, c), jnp.float32)
+    cols += [jnp.zeros((padded,), jnp.float32)] * (_F - len(cols))
+    featP = jnp.stack(cols, axis=0)  # (16, padded)
+    return featP, ids_sorted, starts, tiles_x, tiles_y, total_pairs
+
+
+def _use_compaction(config: RasterizeConfig, b: int, n: int) -> bool:
+    """Compaction engages only when enabled AND the scene is big enough
+    for the sort savings to matter (small scenes are often densely
+    covered, where a fractional budget would truncate)."""
     return (
-        featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
+        config.pairs_budget_factor > 0
+        and b * n * config.max_dup >= config.compact_min_pairs
     )
 
 
@@ -235,7 +240,7 @@ def _pair_sort_compacted(
     rows x operands). Composite order is identical — the carried pair
     ids reproduce the uncompacted tie order exactly.
 
-    Returns (featA, featB, ids_sorted, starts, tiles_x, tiles_y, budget).
+    Returns (featP, ids_sorted, starts, tiles_x, tiles_y, budget).
     """
     h, w = image_shape
     ts = config.tile_size
@@ -297,14 +302,9 @@ def _pair_sort_compacted(
             "or compact_window"
         )
     cols = list(feats_sorted)
-    a_cols = cols[:_A]
-    a_cols += [jnp.zeros((budget,), jnp.float32)] * (_A - len(a_cols))
-    featA = jnp.stack(a_cols, axis=0)  # (8, budget)
-    if channels == 3:
-        featB = cols[_A].reshape(budget // c, c)
-    else:
-        featB = jnp.zeros((budget // c, c), jnp.float32)
-    return featA, featB, ids_sorted, starts, tiles_x, tiles_y, budget
+    cols += [jnp.zeros((budget,), jnp.float32)] * (_F - len(cols))
+    featP = jnp.stack(cols, axis=0)  # (16, budget)
+    return featP, ids_sorted, starts, tiles_x, tiles_y, budget
 
 
 def _chunk_alpha_cols(data, px, py, config):
@@ -328,11 +328,9 @@ def _chunk_alpha_cols(data, px, py, config):
     return alpha, dx, dy, g, unclamped
 
 
-def _color_rows(dataA, bufB_slot, channels):
-    """Assemble the (channels, C) color block from the A/B feature split."""
-    if channels <= 2:
-        return dataA[6 : 6 + channels, :]
-    return jnp.concatenate([dataA[6:8, :], bufB_slot], axis=0)
+def _color_rows(dataP, channels):
+    """The (channels, C) color block of a feature-plane chunk."""
+    return dataP[6 : 6 + channels, :]
 
 
 def _streamed_fwd_kernel(
@@ -340,93 +338,111 @@ def _streamed_fwd_kernel(
     off_ref,         # scalar prefetch (rows,): start offset within window
     counts_ref,      # scalar prefetch (rows,)
     tile_ids_ref,    # scalar prefetch (rows,)
-    featA_hbm,       # (8, padded) ANY
-    featB_hbm,       # (padded // 128, 128) ANY
-    bg_ref,          # (1, ch, 1) VMEM
-    img_ref,         # (1, ch, P) out
-    tfin_ref,        # (1, 1, P) out
-    tchk_ref,        # (1, n_chunks, P) out
-    bufA,            # VMEM (2, 8, 128) double buffer
-    bufB,            # VMEM (2, 1, 128)
+    featP_hbm,       # (16, padded) ANY
+    bg_ref,          # (T, ch, 1) VMEM
+    img_ref,         # (T, ch, P) out
+    tfin_ref,        # (T, 1, P) out
+    tchk_ref,        # (T, n_chunks, P) out
+    buf,             # VMEM (D, 16, c) prefetch ring
     accum,           # VMEM (ch, P)
     tcar,            # VMEM (1, P)
-    semA,            # DMA sem (2,)
-    semB,            # DMA sem (2,)
+    sem,             # DMA sem (D,)
     *,
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
     n_chunks: int,
+    t_step: int,
 ):
+    """Composites `t_step` tiles per grid step (python-unrolled): the
+    per-step pipeline machinery (block copies, semaphores, prologue) is
+    a measured ~3 us/tile at t_step=1 — amortizing it across tiles is
+    worth more than any chunk-level tuning."""
     c = config.chunk  # multiple of 128
     ts = config.tile_size
     p = ts * ts
     dtype = jnp.float32
     r = pl.program_id(0)
+    l_incl = _tri_incl(c, dtype)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
 
-    t_img = tile_ids_ref[r]
+    for t in range(t_step):
+        _fwd_one_tile(
+            r * t_step + t, t, base_ref, off_ref, counts_ref, tile_ids_ref,
+            featP_hbm, bg_ref, img_ref, tfin_ref, tchk_ref,
+            buf, accum, tcar, sem,
+            config=config, channels=channels, tiles_x=tiles_x,
+            n_chunks=n_chunks, l_incl=l_incl, lane_col=lane_col,
+            local=local,
+        )
+
+
+def _fwd_one_tile(
+    row, t, base_ref, off_ref, counts_ref, tile_ids_ref,
+    featP_hbm, bg_ref, img_ref, tfin_ref, tchk_ref,
+    buf, accum, tcar, sem,
+    *, config, channels, tiles_x, n_chunks, l_incl, lane_col, local,
+):
+    c = config.chunk
+    ts = config.tile_size
+    p = ts * ts
+    dtype = jnp.float32
+
+    t_img = tile_ids_ref[row]
     tx = t_img % tiles_x
     ty = t_img // tiles_x
-    local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     px = (tx * ts + local % ts).astype(dtype) + 0.5
     py = (ty * ts + local // ts).astype(dtype) + 0.5
 
-    base = base_ref[r]
-    off = off_ref[r]
-    count = counts_ref[r]
+    base = base_ref[row]
+    off = off_ref[row]
+    count = counts_ref[row]
 
     accum[...] = jnp.zeros((channels, p), dtype)
     tcar[...] = jnp.ones((1, p), dtype)
-    tchk_ref[...] = jnp.zeros((1, n_chunks, p), dtype)
+    tchk_ref[t] = jnp.zeros((n_chunks, p), dtype)
 
-    l_incl = _tri_incl(c, dtype)
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-
-    def dmaA(i, slot):
+    def dma(i, slot):
         return pltpu.make_async_copy(
-            featA_hbm.at[:, pl.ds((base + i) * c, c)],
-            bufA.at[slot],
-            semA.at[slot],
+            featP_hbm.at[:, pl.ds((base + i) * c, c)],
+            buf.at[slot],
+            sem.at[slot],
         )
 
-    def dmaB(i, slot):
-        return pltpu.make_async_copy(
-            featB_hbm.at[pl.ds(base + i, 1), :],
-            bufB.at[slot],
-            semB.at[slot],
-        )
-
-    use_b = channels == 3
+    D = config.prefetch_depth
 
     def start(i, slot):
-        dmaA(i, slot).start()
-        if use_b:
-            dmaB(i, slot).start()
+        dma(i, slot).start()
 
     def wait(i, slot):
-        dmaA(i, slot).wait()
-        if use_b:
-            dmaB(i, slot).wait()
+        dma(i, slot).wait()
 
-    start(0, 0)
+    # Depth-D prefetch ring: the per-step cost is DMA-latency bound (the
+    # compute is ~0.3 us while an HBM round trip is ~1 us), so keep D-1
+    # chunk fetches in flight instead of one.
+    for j in range(D - 1):
+        @pl.when(j < n_chunks)
+        def _(j=j):
+            start(j, j)
 
     def chunk_body(i):
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, D)
 
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(i + D - 1 < n_chunks)
         def _():
-            start(i + 1, jax.lax.rem(i + 1, 2))
+            start(i + D - 1, jax.lax.rem(i + D - 1, D))
 
         wait(i, slot)
-        data = bufA[slot]                      # (8, 128)
+        data = buf[slot]                       # (16, c)
         alpha, _, _, _, _ = _chunk_alpha_cols(data, px, py, config)
         # Mask rows outside this tile's segment [off, off+count).
         j = i * c + lane_col                   # global window position
         seg = (j >= off) & (j < off + count)
         alpha = jnp.where(seg, alpha, 0.0)
-        color = _color_rows(data, bufB[slot], channels)
+        color = _color_rows(data, channels)
 
-        tchk_ref[0, i, :] = tcar[0, :]
+        tchk_ref[t, i, :] = tcar[0, :]
         s = jnp.log1p(-alpha)
         incl = jax.lax.dot_general(
             l_incl, s, (((1,), (0,)), ((), ())),
@@ -458,32 +474,34 @@ def _streamed_fwd_kernel(
 
     i_final = jax.lax.while_loop(lambda i: (i < n_chunks) & cond(i), body, 0)
 
-    # Early exit leaves chunk i_final's prefetch DMA in flight (started by
-    # body(i_final - 1) or the warm-up start) — drain it, or the kernel ends
-    # with an outstanding DMA and the next grid step faults.
-    @pl.when(i_final < n_chunks)
-    def _():
-        wait(i_final, jax.lax.rem(i_final, 2))
+    # Early exit leaves up to D-1 prefetch DMAs in flight (chunks
+    # i_final .. i_final+D-2, from the warm-up ring or body starts) —
+    # drain them, or the kernel ends with outstanding DMAs and the next
+    # sub-tile / grid step faults.
+    for d in range(D - 1):
+        @pl.when(i_final + d < n_chunks)
+        def _(d=d):
+            wait(i_final + d, jax.lax.rem(i_final + d, D))
 
-    img_ref[0] = accum[...] + bg_ref[0] * tcar[...]
-    tfin_ref[0] = tcar[...]
+    img_ref[t] = accum[...] + bg_ref[t] * tcar[...]
+    tfin_ref[t] = tcar[...]
 
 
 def _bwd_chunk_grads(
-    dataA, bufB_slot, tchk_row, g, gt_tail, px, py, off, count,
+    dataP, tchk_row, g, gt_tail, px, py, off, count,
     lane_col, l_incl, u_suf, config, channels, i,
 ):
-    """Shared backward math for one chunk: returns (d_chunkA (8, C),
-    d_chunkB (1, C) or None, m (C, P) for the running tail update)."""
+    """Shared backward math for one chunk: returns (d_chunk (16, C),
+    m (C, P) for the running tail update)."""
     c = config.chunk
     alpha, dx, dy, gexp, unclamped = _chunk_alpha_cols(
-        dataA, px, py, config
+        dataP, px, py, config
     )
     j = i * c + lane_col
     seg = (j >= off) & (j < off + count)
     alpha = jnp.where(seg, alpha, 0.0)
     unclamped = unclamped & seg
-    color = _color_rows(dataA, bufB_slot, channels)
+    color = _color_rows(dataP, channels)
 
     t_start = tchk_row
     s = jnp.log1p(-alpha)
@@ -510,11 +528,11 @@ def _bwd_chunk_grads(
     dalpha = jnp.where(alive, t_before * cg - suffix / one_m, 0.0)
     dalpha = jnp.where(unclamped, dalpha, 0.0)
 
-    op = dataA[5, :][:, None]
+    op = dataP[5, :][:, None]
     dpow = alpha * dalpha
-    ca = dataA[2, :][:, None]
-    cb = dataA[3, :][:, None]
-    cc = dataA[4, :][:, None]
+    ca = dataP[2, :][:, None]
+    cb = dataP[3, :][:, None]
+    cc = dataP[4, :][:, None]
 
     d_op = jnp.sum(gexp * dalpha, axis=1)[None, :]
     d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1)[None, :]
@@ -526,13 +544,12 @@ def _bwd_chunk_grads(
         g, wgt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (ch, C)
-    rows = [d_x0, d_y0, d_ca, d_cb, d_cc, d_op, d_col[: min(channels, 2)]]
-    pad = _A - 6 - min(channels, 2)
+    rows = [d_x0, d_y0, d_ca, d_cb, d_cc, d_op, d_col]
+    pad = _F - 6 - channels
     if pad:
         rows.append(jnp.zeros((pad, c), jnp.float32))
-    d_chunkA = jnp.concatenate(rows, axis=0)  # (8, C)
-    d_chunkB = d_col[2:3] if channels == 3 else None
-    return d_chunkA, d_chunkB, m
+    d_chunk = jnp.concatenate(rows, axis=0)  # (16, C)
+    return d_chunk, m
 
 
 def _streamed_bwd_rmw_kernel(
@@ -541,166 +558,159 @@ def _streamed_bwd_rmw_kernel(
     counts_ref,
     tile_ids_ref,
     nproc_ref,       # scalar prefetch (rows,): chunks the fwd processed
-    featA_hbm,       # (8, padded) ANY
-    featB_hbm,       # (padded // 128, 128) ANY
-    bg_ref,          # (1, ch, 1)
-    tchk_ref,        # (1, n_chunks, P)
-    tfin_ref,        # (1, 1, P)
-    gimg_ref,        # (1, ch, P)
-    gtf_ref,         # (1, 1, P)
-    gA_in,           # (8, padded) ANY — aliased to gA_hbm (zero-filled)
-    gB_in,           # (padded // 128, 128) ANY — aliased to gB_hbm
-    gA_hbm,          # (8, padded) ANY out: in-place gradient accumulator
-    gB_hbm,          # (padded // 128, 128) ANY out
-    dbg_ref,         # (1, ch, 1) out
-    fbufA,           # VMEM (2, 8, 128)
-    fbufB,           # VMEM (2, 1, 128)
-    gbufA,           # VMEM (2, 8, 128)
-    gbufB,           # VMEM (2, 1, 128)
+    featP_hbm,       # (16, padded) ANY
+    bg_ref,          # (T, ch, 1)
+    tchk_ref,        # (T, n_chunks, P)
+    tfin_ref,        # (T, 1, P)
+    gimg_ref,        # (T, ch, P)
+    gtf_ref,         # (T, 1, P)
+    gP_in,           # (16, padded) ANY — aliased to gP_hbm (zero-filled)
+    gP_hbm,          # (16, padded) ANY out: in-place gradient accumulator
+    dbg_ref,         # (T, ch, 1) out
+    fbuf,            # VMEM (D, 16, c) feature prefetch ring
+    gbuf,            # VMEM (2D, 16, c) gradient RMW ring
     tail,            # VMEM (1, P)
-    semFA, semFB, semGRA, semGRB, semGWA, semGWB,  # DMA sems (2,) each
+    semF,            # DMA sems (D,)
+    semGR, semGW,    # DMA sems (2D,)
     *,
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
     n_chunks: int,
+    t_step: int,
 ):
     """In-place (read-modify-write) backward: gradients accumulate directly
     into HBM buffers laid out like the sorted features. Correctness of the
     overlapping boundary windows relies on the sequential TPU grid plus the
-    per-step DMA drain: a tile's writes complete before the next tile's
-    reads of the shared window start. NOT safe under a sharded grid — the
-    mesh path uses `_streamed_bwd_blocks_kernel` instead."""
+    per-(sub-)tile DMA drain: a tile's writes complete before the next
+    tile's reads of the shared window start. NOT safe under a sharded grid
+    — the mesh path uses `_streamed_bwd_blocks_kernel` instead. Processes
+    `t_step` tiles per grid step (cf. `_streamed_fwd_kernel`)."""
+    r = pl.program_id(0)
+    for t in range(t_step):
+        _bwd_rmw_one_tile(
+            r * t_step + t, t, base_ref, off_ref, counts_ref, tile_ids_ref,
+            nproc_ref, featP_hbm, bg_ref, tchk_ref, tfin_ref,
+            gimg_ref, gtf_ref, gP_hbm, dbg_ref, fbuf, gbuf, tail,
+            semF, semGR, semGW, config=config, channels=channels,
+            tiles_x=tiles_x, n_chunks=n_chunks,
+        )
+
+
+def _bwd_rmw_one_tile(
+    row, t, base_ref, off_ref, counts_ref, tile_ids_ref, nproc_ref,
+    featP_hbm, bg_ref, tchk_ref, tfin_ref, gimg_ref, gtf_ref,
+    gP_hbm, dbg_ref, fbuf, gbuf, tail, semF, semGR, semGW,
+    *, config, channels, tiles_x, n_chunks,
+):
     c = config.chunk
     ts = config.tile_size
     p = ts * ts
     dtype = jnp.float32
-    r = pl.program_id(0)
 
-    t_img = tile_ids_ref[r]
+    t_img = tile_ids_ref[row]
     tx = t_img % tiles_x
     ty = t_img // tiles_x
     local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     px = (tx * ts + local % ts).astype(dtype) + 0.5
     py = (ty * ts + local // ts).astype(dtype) + 0.5
 
-    base = base_ref[r]
-    off = off_ref[r]
-    count = counts_ref[r]
+    base = base_ref[row]
+    off = off_ref[row]
+    count = counts_ref[row]
 
-    g = gimg_ref[0]
-    gt = jnp.sum(bg_ref[0] * g, axis=0, keepdims=True) + gtf_ref[0]
-    dbg_ref[0] = jnp.sum(g * tfin_ref[0], axis=1, keepdims=True)
-    tail[...] = tfin_ref[0] * gt
+    g = gimg_ref[t]
+    gt = jnp.sum(bg_ref[t] * g, axis=0, keepdims=True) + gtf_ref[t]
+    dbg_ref[t] = jnp.sum(g * tfin_ref[t], axis=1, keepdims=True)
+    tail[...] = tfin_ref[t] * gt
 
     l_incl = _tri_incl(c, dtype)
     u_suf = _tri_suffix(c, dtype)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-    use_b = channels == 3
 
     def dma_feat(i, slot, start):
-        copies = [
-            pltpu.make_async_copy(
-                featA_hbm.at[:, pl.ds((base + i) * c, c)],
-                fbufA.at[slot], semFA.at[slot],
-            )
-        ]
-        if use_b:
-            copies.append(pltpu.make_async_copy(
-                featB_hbm.at[pl.ds(base + i, 1), :],
-                fbufB.at[slot], semFB.at[slot],
-            ))
-        for d in copies:
-            d.start() if start else d.wait()
+        d = pltpu.make_async_copy(
+            featP_hbm.at[:, pl.ds((base + i) * c, c)],
+            fbuf.at[slot], semF.at[slot],
+        )
+        d.start() if start else d.wait()
 
     def dma_grad_read(i, slot, start):
-        copies = [
-            pltpu.make_async_copy(
-                gA_hbm.at[:, pl.ds((base + i) * c, c)],
-                gbufA.at[slot], semGRA.at[slot],
-            )
-        ]
-        if use_b:
-            copies.append(pltpu.make_async_copy(
-                gB_hbm.at[pl.ds(base + i, 1), :],
-                gbufB.at[slot], semGRB.at[slot],
-            ))
-        for d in copies:
-            d.start() if start else d.wait()
+        d = pltpu.make_async_copy(
+            gP_hbm.at[:, pl.ds((base + i) * c, c)],
+            gbuf.at[slot], semGR.at[slot],
+        )
+        d.start() if start else d.wait()
 
     def dma_grad_write(i, slot, start):
-        copies = [
-            pltpu.make_async_copy(
-                gbufA.at[slot], gA_hbm.at[:, pl.ds((base + i) * c, c)],
-                semGWA.at[slot],
-            )
-        ]
-        if use_b:
-            copies.append(pltpu.make_async_copy(
-                gbufB.at[slot], gB_hbm.at[pl.ds(base + i, 1), :],
-                semGWB.at[slot],
-            ))
-        for d in copies:
-            d.start() if start else d.wait()
+        d = pltpu.make_async_copy(
+            gbuf.at[slot], gP_hbm.at[:, pl.ds((base + i) * c, c)],
+            semGW.at[slot],
+        )
+        d.start() if start else d.wait()
 
     # Walk ONLY the chunks the forward actually processed (its early-exit
     # count, recovered from the transmittance checkpoints on the XLA side),
     # in reverse — the all-n_chunks walk cost ~3 ms of dead DMA waits on the
     # bench scene (fwd averages ~1/3 of the capacity before saturating).
-    n_proc = nproc_ref[r]
+    n_proc = nproc_ref[row]
+    D = config.prefetch_depth
+    Dg = 2 * D  # grad ring: extra depth so write drains trail D steps
 
-    @pl.when(n_proc > 0)
-    def _():
-        i0 = n_proc - 1
-        dma_feat(i0, jax.lax.rem(i0, 2), True)
-        dma_grad_read(i0, jax.lax.rem(i0, 2), True)
+    # Warm-up: D-1 outstanding (feat, grad-read) fetches, reverse order.
+    for d0 in range(D - 1):
+        @pl.when(n_proc - 1 - d0 >= 0)
+        def _(d0=d0):
+            idx = n_proc - 1 - d0
+            dma_feat(idx, jax.lax.rem(idx, D), True)
+            dma_grad_read(idx, jax.lax.rem(idx, Dg), True)
 
     def body(k, _):
         i = n_proc - 1 - k
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, D)
+        slot_g = jax.lax.rem(i, Dg)
 
-        @pl.when(i - 1 >= 0)
+        idx2 = i - (D - 1)
+
+        @pl.when(idx2 >= 0)
         def _():
-            slot2 = jax.lax.rem(i - 1, 2)
+            sg2 = jax.lax.rem(idx2, Dg)
 
-            # Before reusing gbuf[slot2] for the (i-1) read, drain the
-            # write of chunk (i+1), which used the same slot.
-            @pl.when(k >= 1)
+            # gbuf[sg2]'s previous owner is chunk idx2 + Dg (processed Dg
+            # steps ago — its write has had D spare steps to land, unlike
+            # the 2-slot ring whose drain chased the 1-step-old write);
+            # drain it before the new read overwrites the buffer.
+            @pl.when(idx2 + Dg <= n_proc - 1)
             def _():
-                dma_grad_write(i + 1, slot2, False)
+                dma_grad_write(idx2 + Dg, sg2, False)
 
-            dma_feat(i - 1, slot2, True)
-            dma_grad_read(i - 1, slot2, True)
+            dma_feat(idx2, jax.lax.rem(idx2, D), True)
+            dma_grad_read(idx2, sg2, True)
 
         dma_feat(i, slot, False)
 
-        d_chunkA, d_chunkB, m = _bwd_chunk_grads(
-            fbufA[slot], fbufB[slot], tchk_ref[0, i, :][None, :],
+        d_chunk, m = _bwd_chunk_grads(
+            fbuf[slot], tchk_ref[t, i, :][None, :],
             g, tail[...], px, py, off, count, lane_col, l_incl, u_suf,
             config, channels, i,
         )
 
-        dma_grad_read(i, slot, False)
-        gbufA[slot] = gbufA[slot] + d_chunkA
-        if d_chunkB is not None:
-            gbufB[slot] = gbufB[slot] + d_chunkB
-        dma_grad_write(i, slot, True)
+        dma_grad_read(i, slot_g, False)
+        gbuf[slot_g] = gbuf[slot_g] + d_chunk
+        dma_grad_write(i, slot_g, True)
 
         tail[...] += jnp.sum(m, axis=0, keepdims=True)
         return ()
 
     jax.lax.fori_loop(0, n_proc, body, ())
 
-    # Drain the writes never waited in-loop (chunks 0 and 1): the in-loop
-    # wait covers write(j) for j >= 2 only. This is also the cross-step
-    # ordering barrier for shared boundary windows.
-    @pl.when(n_proc >= 1)
-    def _():
-        dma_grad_write(0, 0, False)
-
-    @pl.when(n_proc >= 2)
-    def _():
-        dma_grad_write(1, 1, False)
+    # Drain every write still in flight (the in-loop drains cover chunks
+    # >= Dg only). This is also the cross-step ordering barrier for
+    # boundary windows shared with the next tile.
+    for j in range(Dg):
+        @pl.when(j <= n_proc - 1)
+        def _(j=j):
+            dma_grad_write(j, jax.lax.rem(j, Dg), False)
 
 
 def _streamed_bwd_blocks_kernel(
@@ -709,20 +719,17 @@ def _streamed_bwd_blocks_kernel(
     counts_ref,
     tile_ids_ref,
     nproc_ref,
-    featA_hbm,       # (8, padded) ANY
-    featB_hbm,       # (padded // 128, 128) ANY
+    featP_hbm,       # (16, padded) ANY
     bg_ref,          # (1, ch, 1)
     tchk_ref,        # (1, n_chunks, P)
     tfin_ref,        # (1, 1, P)
     gimg_ref,        # (1, ch, P)
     gtf_ref,         # (1, 1, P)
-    dblkA_ref,       # (1, n_chunks, 8, 128) out: per-chunk gradient blocks
-    dblkB_ref,       # (1, n_chunks, 128) out
+    dblk_ref,        # (1, n_chunks, 16, c) out: per-chunk gradient blocks
     dbg_ref,         # (1, ch, 1) out
-    fbufA,           # VMEM (2, 8, 128)
-    fbufB,           # VMEM (2, 1, 128)
+    fbuf,            # VMEM (D, 16, c) feature prefetch ring
     tail,            # VMEM (1, P)
-    semFA, semFB,    # DMA sems (2,)
+    semF,            # DMA sems (D,)
     *,
     config: RasterizeConfig,
     channels: int,
@@ -753,56 +760,48 @@ def _streamed_bwd_blocks_kernel(
     gt = jnp.sum(bg_ref[0] * g, axis=0, keepdims=True) + gtf_ref[0]
     dbg_ref[0] = jnp.sum(g * tfin_ref[0], axis=1, keepdims=True)
     tail[...] = tfin_ref[0] * gt
-    dblkA_ref[...] = jnp.zeros((1, n_chunks, _A, c), jnp.float32)
-    dblkB_ref[...] = jnp.zeros((1, n_chunks, c), jnp.float32)
+    dblk_ref[...] = jnp.zeros((1, n_chunks, _F, c), jnp.float32)
 
     l_incl = _tri_incl(c, dtype)
     u_suf = _tri_suffix(c, dtype)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-    use_b = channels == 3
 
     def dma_feat(i, slot, start):
-        copies = [
-            pltpu.make_async_copy(
-                featA_hbm.at[:, pl.ds((base + i) * c, c)],
-                fbufA.at[slot], semFA.at[slot],
-            )
-        ]
-        if use_b:
-            copies.append(pltpu.make_async_copy(
-                featB_hbm.at[pl.ds(base + i, 1), :],
-                fbufB.at[slot], semFB.at[slot],
-            ))
-        for d in copies:
-            d.start() if start else d.wait()
+        d = pltpu.make_async_copy(
+            featP_hbm.at[:, pl.ds((base + i) * c, c)],
+            fbuf.at[slot], semF.at[slot],
+        )
+        d.start() if start else d.wait()
 
     n_proc = nproc_ref[r]
+    D = config.prefetch_depth
 
-    @pl.when(n_proc > 0)
-    def _():
-        dma_feat(n_proc - 1, jax.lax.rem(n_proc - 1, 2), True)
+    for d0 in range(D - 1):
+        @pl.when(n_proc - 1 - d0 >= 0)
+        def _(d0=d0):
+            idx = n_proc - 1 - d0
+            dma_feat(idx, jax.lax.rem(idx, D), True)
 
     def body(k, _):
         i = n_proc - 1 - k
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, D)
 
-        @pl.when(i - 1 >= 0)
+        @pl.when(i - (D - 1) >= 0)
         def _():
-            dma_feat(i - 1, jax.lax.rem(i - 1, 2), True)
+            idx = i - (D - 1)
+            dma_feat(idx, jax.lax.rem(idx, D), True)
 
         dma_feat(i, slot, False)
 
-        d_chunkA, d_chunkB, m = _bwd_chunk_grads(
-            fbufA[slot], fbufB[slot], tchk_ref[0, i, :][None, :],
+        d_chunk, m = _bwd_chunk_grads(
+            fbuf[slot], tchk_ref[0, i, :][None, :],
             g, tail[...], px, py, off, count, lane_col, l_incl, u_suf,
             config, channels, i,
         )
 
         # Pure block write (no RMW): boundary windows shared with
         # adjacent tiles are merged by the XLA scatter-add outside.
-        dblkA_ref[0, i] = d_chunkA
-        if d_chunkB is not None:
-            dblkB_ref[0, i] = d_chunkB[0]
+        dblk_ref[0, i] = d_chunk
 
         tail[...] += jnp.sum(m, axis=0, keepdims=True)
         return ()
@@ -834,35 +833,40 @@ def _make_streamed_composite(
             "start offset and the full capacity"
         )
     c = config.chunk
+    dpf = config.prefetch_depth
     n_chunks = config.tile_capacity // c + 1
     p = config.tile_size**2
     n_win = padded // c
+    # Tiles composited per grid step: the largest configured value that
+    # divides this shard's row count (amortizes the measured ~3 us/step
+    # pipeline overhead).
+    tps = config.tiles_per_step
+    while rows % tps:
+        tps //= 2
+    tps = max(tps, 1)
 
     fwd_call = pl.pallas_call(
         functools.partial(
             _streamed_fwd_kernel, config=config, channels=channels,
-            tiles_x=tiles_x, n_chunks=n_chunks,
+            tiles_x=tiles_x, n_chunks=n_chunks, t_step=tps,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(rows,),
+            grid=(rows // tps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tps, channels, 1), lambda t, *_: (t, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tps, channels, p), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tps, 1, p), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tps, n_chunks, p), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, _A, c), jnp.float32),
-                pltpu.VMEM((2, 1, c), jnp.float32),
+                pltpu.VMEM((dpf, _F, c), jnp.float32),
                 pltpu.VMEM((channels, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((dpf,)),
             ],
         ),
         out_shape=[
@@ -875,53 +879,51 @@ def _make_streamed_composite(
 
     if not sharded:
         # Single-shard backward: in-place RMW gradient accumulation.
-        # Call args: 5 scalar-prefetch (0-4), featA=5, featB=6, bg=7,
-        # tchk=8, tfin=9, gimg=10, gtf=11, gA0=12, gB0=13 -> outputs
-        # gA=0, gB=1, dbg=2.
+        # Call args: 5 scalar-prefetch (0-4), featP=5, bg=6, tchk=7,
+        # tfin=8, gimg=9, gtf=10, gP0=11 -> outputs gP=0, dbg=1.
         bwd_call = pl.pallas_call(
             functools.partial(
                 _streamed_bwd_rmw_kernel, config=config, channels=channels,
-                tiles_x=tiles_x, n_chunks=n_chunks,
+                tiles_x=tiles_x, n_chunks=n_chunks, t_step=tps,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,
-                grid=(rows,),
+                grid=(rows // tps,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                    pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
-                    pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
-                    pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-                    pl.BlockSpec((1, channels, p), lambda t, *_: (t, 0, 0)),
-                    pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(
+                        (tps, channels, 1), lambda t, *_: (t, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (tps, n_chunks, p), lambda t, *_: (t, 0, 0)
+                    ),
+                    pl.BlockSpec((tps, 1, p), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec(
+                        (tps, channels, p), lambda t, *_: (t, 0, 0)
+                    ),
+                    pl.BlockSpec((tps, 1, p), lambda t, *_: (t, 0, 0)),
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 ],
                 out_specs=[
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                    pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
+                    pl.BlockSpec(
+                        (tps, channels, 1), lambda t, *_: (t, 0, 0)
+                    ),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, _A, c), jnp.float32),
-                    pltpu.VMEM((2, 1, c), jnp.float32),
-                    pltpu.VMEM((2, _A, c), jnp.float32),
-                    pltpu.VMEM((2, 1, c), jnp.float32),
+                    pltpu.VMEM((dpf, _F, c), jnp.float32),
+                    pltpu.VMEM((2 * dpf, _F, c), jnp.float32),
                     pltpu.VMEM((1, p), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((dpf,)),
+                    pltpu.SemaphoreType.DMA((2 * dpf,)),
+                    pltpu.SemaphoreType.DMA((2 * dpf,)),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((_A, padded), jnp.float32),
-                jax.ShapeDtypeStruct((n_win, c), jnp.float32),
+                jax.ShapeDtypeStruct((_F, padded), jnp.float32),
                 jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
             ],
-            input_output_aliases={12: 0, 13: 1},
+            input_output_aliases={11: 0},
             interpret=interpret,
         )
     else:
@@ -935,7 +937,6 @@ def _make_streamed_composite(
                 grid=(rows,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                     pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                     pl.BlockSpec((1, n_chunks, p), lambda t, *_: (t, 0, 0)),
                     pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
@@ -944,24 +945,18 @@ def _make_streamed_composite(
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (1, n_chunks, _A, c), lambda t, *_: (t, 0, 0, 0)
-                    ),
-                    pl.BlockSpec(
-                        (1, n_chunks, c), lambda t, *_: (t, 0, 0)
+                        (1, n_chunks, _F, c), lambda t, *_: (t, 0, 0, 0)
                     ),
                     pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, _A, c), jnp.float32),
-                    pltpu.VMEM((2, 1, c), jnp.float32),
+                    pltpu.VMEM((dpf, _F, c), jnp.float32),
                     pltpu.VMEM((1, p), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((dpf,)),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((rows, n_chunks, _A, c), jnp.float32),
-                jax.ShapeDtypeStruct((rows, n_chunks, c), jnp.float32),
+                jax.ShapeDtypeStruct((rows, n_chunks, _F, c), jnp.float32),
                 jax.ShapeDtypeStruct((rows, channels, 1), jnp.float32),
             ],
             interpret=interpret,
@@ -1028,15 +1023,13 @@ def composite_streamed_batched(
             color=color, opacity=opacity, valid=valid,
         )
         pair_sort = (
-            _pair_sort_compacted
-            if config.pairs_budget_factor > 0
+            _pair_sort_compacted if _use_compaction(config, b, n)
             else _pair_sort
         )
         (
-            featA, featB, ids_sorted, starts, tiles_x, tiles_y, total_pairs
+            featP, ids_sorted, starts, tiles_x, tiles_y, total_pairs
         ) = pair_sort(scr, image_shape, config)
-        featA = jax.lax.stop_gradient(featA)
-        featB = jax.lax.stop_gradient(featB)
+        featP = jax.lax.stop_gradient(featP)
         num_tiles = tiles_x * tiles_y
         rows = b * num_tiles
 
@@ -1049,7 +1042,7 @@ def composite_streamed_batched(
         # n_chunks*128 holds because count <= min(segment remainder, cap)).
         ck = config.chunk
         n_chunks = config.tile_capacity // ck + 1
-        max_base = featA.shape[1] // ck - n_chunks
+        max_base = featP.shape[1] // ck - n_chunks
         base = jnp.minimum(starts[:-1] // ck, max_base)
         off = starts[:-1] - base * ck
         tile_ids = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
@@ -1064,19 +1057,19 @@ def composite_streamed_batched(
                 f"{rows} tile rows not divisible by mesh size {n_shards}"
             )
         fwd_call, _ = _make_streamed_composite(
-            rows // n_shards, featA.shape[1], channels, tiles_x,
+            rows // n_shards, featP.shape[1], channels, tiles_x,
             config, interpret, n_shards > 1,
         )
         if n_shards > 1:
             fwd_call = _shard_rows(
                 fwd_call, mesh,
-                ["row"] * 4 + ["rep", "rep", "row"], 3,
+                ["row"] * 4 + ["rep", "row"], 3,
             )
         img_tiles, tfin, tchk = fwd_call(
-            base, off, counts, tile_ids, featA, featB, bg_rows
+            base, off, counts, tile_ids, featP, bg_rows
         )
         res = (
-            featA, featB, ids_sorted, base, off, counts, tile_ids,
+            featP, ids_sorted, base, off, counts, tile_ids,
             bg_rows, tfin, tchk, tiles_x, total_pairs,
         )
         out = _tiles_to_image(img_tiles, b, tiles_x, tiles_y, channels, ts)
@@ -1091,7 +1084,7 @@ def composite_streamed_batched(
     def raster_bwd(res_all, g_img):
         res, depth, radius, valid = res_all
         (
-            featA, featB, ids_sorted, base, off, counts, tile_ids,
+            featP, ids_sorted, base, off, counts, tile_ids,
             bg_rows, tfin, tchk, tiles_x, total_pairs,
         ) = res
         tiles_y = -(-h // ts)
@@ -1109,7 +1102,7 @@ def composite_streamed_batched(
         )
 
         interpret = jax.default_backend() != "tpu"
-        padded = featA.shape[1]
+        padded = featP.shape[1]
         ck = config.chunk
         n_win = padded // ck
         n_shards = 1 if mesh is None else int(
@@ -1129,19 +1122,18 @@ def composite_streamed_batched(
         )
         gtf = jnp.zeros((rows, 1, p), jnp.float32)
         if n_shards == 1:
-            dA, dB, dbg = bwd_call(
-                base, off, counts, tile_ids, nproc, featA, featB,
+            dP, dbg = bwd_call(
+                base, off, counts, tile_ids, nproc, featP,
                 bg_rows, tchk, tfin, g_tiles, gtf,
-                jnp.zeros((_A, padded), jnp.float32),
-                jnp.zeros((n_win, ck), jnp.float32),
+                jnp.zeros((_F, padded), jnp.float32),
             )
         else:
             sharded = _shard_rows(
                 bwd_call, mesh,
-                ["row"] * 5 + ["rep", "rep"] + ["row"] * 5, 3,
+                ["row"] * 5 + ["rep"] + ["row"] * 5, 2,
             )
-            dblkA, dblkB, dbg = sharded(
-                base, off, counts, tile_ids, nproc, featA, featB,
+            dblk, dbg = sharded(
+                base, off, counts, tile_ids, nproc, featP,
                 bg_rows, tchk, tfin, g_tiles, gtf,
             )
             # Merge the per-(tile, chunk) gradient blocks into sorted order:
@@ -1152,13 +1144,11 @@ def composite_streamed_batched(
                 base[:, None]
                 + jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
             ).reshape(-1)
-            accA = jnp.zeros((n_win, _A, ck), jnp.float32)
-            accA = accA.at[win].add(
-                dblkA.reshape(rows * n_chunks, _A, ck)
+            accP = jnp.zeros((n_win, _F, ck), jnp.float32)
+            accP = accP.at[win].add(
+                dblk.reshape(rows * n_chunks, _F, ck)
             )
-            dA = accA.transpose(1, 0, 2).reshape(_A, padded)
-            accB = jnp.zeros((n_win, ck), jnp.float32)
-            dB = accB.at[win].add(dblkB.reshape(rows * n_chunks, ck))
+            dP = accP.transpose(1, 0, 2).reshape(_F, padded)
 
         # Unsort: ONE sort keyed on carried pair ids restores original pair
         # order. The first total_pairs sorted rows are exactly the real
@@ -1166,9 +1156,7 @@ def composite_streamed_batched(
         # row).
         total = total_pairs
         n_feat = 6 + channels
-        cols = [dA[k, :total] for k in range(min(n_feat, _A))]
-        if channels == 3:
-            cols.append(dB.reshape(padded)[:total])
+        cols = [dP[k, :total] for k in range(n_feat)]
         unsorted = jax.lax.sort(
             (ids_sorted,) + tuple(cols),
             # Real pair ids are unique; compacted-path pad rows share
@@ -1176,7 +1164,7 @@ def composite_streamed_batched(
             # unstable sort stays deterministic in value.
             num_keys=1, is_stable=False,
         )
-        if config.pairs_budget_factor > 0:
+        if _use_compaction(config, b, n):
             # Variable surviving pairs per gaussian: banded id-driven
             # reduce instead of the fixed reshape-sum (compact.py).
             ids_u = unsorted[0]

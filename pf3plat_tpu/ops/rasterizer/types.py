@@ -34,7 +34,11 @@ class RasterizeConfig:
     # sit well under this; raise to 3+ for scenes with very large gaussians.
     max_tiles_per_gaussian_side: int = 2
     tile_capacity: int = 1024      # max gaussians composited per tile
-    chunk: int = 128               # gaussians per compositing step
+    # Gaussians per compositing step (streamed: any multiple of 128; the
+    # other impls take powers of two). NOTE streamed chunk=256 currently
+    # hangs Mosaic lowering on v5e (unbounded pass, reproduced 2026-08;
+    # see git history) — keep 128 until that is resolved upstream.
+    chunk: int = 128
     # Pack (tile, depth) into ONE int32 sort key (~2x faster binning sort;
     # the default for bench, train, and tests alike). Depth is quantized to
     # (31 - ceil(log2(batch*tiles))) bits spread uniformly over the scene's
@@ -68,6 +72,22 @@ class RasterizeConfig:
     pairs_budget_factor: float = 0.0
     # Candidate rows per compaction grid step (multiple of 128).
     compact_window: int = 4096
+    # Tiles composited per streamed-kernel grid step (python-unrolled in
+    # the kernel body). Pallas per-step pipeline machinery measures ~3 us
+    # on v5e — a large share of a 16x16 tile's total cost — so batching
+    # tiles per step amortizes it. Auto-reduced to the largest divisor of
+    # the (per-shard) row count.
+    tiles_per_step: int = 4
+    # Outstanding chunk prefetches in the streamed compositing kernels.
+    # The per-chunk compute (~0.3 us) is far below the HBM round-trip
+    # (~1 us), so a deeper ring hides the DMA latency; diminishing
+    # returns past ~4 (v5e-measured).
+    prefetch_depth: int = 4
+    # Compaction only engages at or above this many candidate pairs:
+    # small scenes (tests, thumbnails) often exceed any fractional budget
+    # (dense coverage), the sorts they feed are cheap anyway, and the
+    # exact expansion sidesteps truncation risk entirely.
+    compact_min_pairs: int = 131072
     near_cull: float = 0.2
     dilation: float = 0.3
     alpha_clamp: float = 0.99

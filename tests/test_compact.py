@@ -29,6 +29,7 @@ def _cfg(**kw):
     base = dict(
         tile_size=16, tile_capacity=256, chunk=128,
         pairs_budget_factor=1.0, compact_window=512,
+        compact_min_pairs=0,  # tests exercise compaction at any size
     )
     base.update(kw)
     return RasterizeConfig(**base)

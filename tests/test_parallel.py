@@ -135,6 +135,7 @@ class TestTileShardedRender:
         cfg = RasterizeConfig(
             tile_size=16, tile_capacity=256, chunk=128,
             pairs_budget_factor=budget_factor, compact_window=512,
+            compact_min_pairs=0,
         )
         rng = np.random.default_rng(4)
         scene = make_scene(rng, n=96, b=2)

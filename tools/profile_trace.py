@@ -52,7 +52,20 @@ def main() -> None:
     far = jnp.full((b, v), 100.0)
     target = to(rng.uniform(0, 1, (b, v, h, w, 3)))
 
-    cfg = DecoderCfg(impl=impl, raster=RasterizeConfig())
+    import os
+
+    cfg = DecoderCfg(
+        impl=impl,
+        raster=RasterizeConfig(
+            chunk=int(os.environ.get("PF3PLAT_BENCH_CHUNK", "128")),
+            pairs_budget_factor=float(
+                os.environ.get("PF3PLAT_BUDGET_FACTOR", "0")
+            ),
+            compact_window=int(
+                os.environ.get("PF3PLAT_COMPACT_WINDOW", "4096")
+            ),
+        ),
+    )
 
     def loss_fn(g):
         out = decode(cfg, g, extr, intr, near, far, (h, w))
