@@ -10,10 +10,11 @@ PF3PLAT_BENCH_IMPL to force another (pallas/tiled), or
 PF3PLAT_BENCH_PROBE_ALL=1 to probe streamed+pallas and keep the winner
 (each extra variant costs a multi-minute compile on the relay backend).
 
-Statistics: the headline value is the mean over `n_iters` pipelined steps;
-`std` and `probe_ms` report repeat variance (three independent timing
-windows). If the result regresses >5% against the last committed
-BENCH_r*.json, a "regression_vs" note is included.
+Statistics: the headline value is the MEDIAN of five independent
+30-iteration timing windows (the axon relay adds +-2-3 ms of wall-clock
+noise per window; the median is robust where a mean is not), with all
+windows and their std reported. If the result regresses >5% against the
+last committed BENCH_r*.json, a "regression_vs" note is included.
 
 The reference repo publishes no numbers (BASELINE.md); `vs_baseline`
 normalizes against an estimated 20 Mrays/s for the reference CUDA
@@ -189,10 +190,11 @@ def main() -> None:
               file=sys.stderr, flush=True)
     best = min(probe, key=probe.get)
 
-    # Three independent timing windows -> mean/std of the per-step time.
+    # Five independent timing windows -> median per-step time (robust
+    # to relay wall-clock noise), std reported for honesty.
     n_iters = 30
-    windows = [measure(steps[best], n_iters) for _ in range(3)]
-    dt = float(np.mean(windows))
+    windows = [measure(steps[best], n_iters) for _ in range(5)]
+    dt = float(np.median(windows))
     dt_std = float(np.std(windows))
 
     rays = b * v * h * w

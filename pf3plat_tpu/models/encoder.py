@@ -98,6 +98,13 @@ class EncoderCfg:
     opacity_initial: float = 0.0
     opacity_final: float = 0.0
     opacity_warm_up: int = 1
+    # Rematerialize the heavy trainable stages on the backward pass
+    # (jax.checkpoint via nn.remat): trades ~recompute FLOPs for
+    # activation memory. Without it the b=2 256^2 train step exceeds
+    # v5e's 16G HBM (b=3 needs ~24G; the A6000 reference trains b=3 on
+    # 48G). Mirrors the reference's gradient checkpointing in the U-Net
+    # attention (`ldm_unet/util.py:102-148`).
+    remat: bool = True
     gaussian_adapter: GaussianAdapterCfg = GaussianAdapterCfg()
     costvolume_unet_feat_dim: int = 128
     costvolume_unet_channel_mult: Sequence[int] = (1, 1, 1)
@@ -186,7 +193,18 @@ class PoseFreeEncoder(nn.Module):
         else:
             pos = position_embedding_sine(hd, wd, d // 2)
         maps = maps + pos[None]
-        maps = MultiViewFeatureTransformer(
+        if cfg.remat:
+            SelfBlockM = nn.remat(SelfBlock)
+            CrossBlockM = nn.remat(CrossBlock)
+            MVTransformer = nn.remat(
+                MultiViewFeatureTransformer, static_argnums=(2,)
+            )
+            DepthPredictor = nn.remat(DepthPredictorMultiView)
+        else:
+            SelfBlockM, CrossBlockM = SelfBlock, CrossBlock
+            MVTransformer = MultiViewFeatureTransformer
+            DepthPredictor = DepthPredictorMultiView
+        maps = MVTransformer(
             num_layers=1, d_model=d, name="cross_view_aggregator"
         )(maps, splits)
         per_view_depth_features = jax.image.resize(
@@ -197,7 +215,9 @@ class PoseFreeEncoder(nn.Module):
         ss = nn.Dense(cfg.d_pose, name="in_features")(pre_cross)  # (b,v,L,128)
         ss = ss.reshape(b * v, hd * wd, cfg.d_pose)
         for i in range(cfg.n_attn_layers):
-            ss = SelfBlock(cfg.d_pose, cfg.pose_heads, name=f"depth_self_attn_{i}")(ss)
+            ss = SelfBlockM(
+                cfg.d_pose, cfg.pose_heads, name=f"depth_self_attn_{i}"
+            )(ss)
         ss = Mlp(cfg.d_pose * 2, 2, zero_init=True, name="scale_shift_predictor")(ss)
         ss = ss.reshape(b * v, hd, wd, 2)
         ss = jax.image.resize(ss, (b * v, h, w, 2), "bilinear")
@@ -324,7 +344,7 @@ class PoseFreeEncoder(nn.Module):
             [jnp.broadcast_to(cls, (b * v, 1, dp)), desc0], axis=1
         )
         for i in range(cfg.n_attn_layers):
-            desc0 = SelfBlock(dp, cfg.pose_heads, name=f"pose_transformers_{i}")(
+            desc0 = SelfBlockM(dp, cfg.pose_heads, name=f"pose_transformers_{i}")(
                 desc0, encoding0
             )
         desc0 = desc0[:, 1:].reshape(b, v, h4 * w4, dp)
@@ -340,7 +360,7 @@ class PoseFreeEncoder(nn.Module):
         n_tok = rgb_feat.shape[-2]
         for i in range(cfg.n_attn_layers):
             rf = rgb_feat.reshape(b * v, n_tok, dp)
-            rf = SelfBlock(dp, cfg.pose_heads, name=f"pose_self_attn_{i}")(rf)
+            rf = SelfBlockM(dp, cfg.pose_heads, name=f"pose_self_attn_{i}")(rf)
             rgb_feat = rf.reshape(b, v, n_tok, dp)
             if v > 1:
                 others = rgb_feat[:, 1:]  # (b, v-1, n, dp)
@@ -355,7 +375,7 @@ class PoseFreeEncoder(nn.Module):
                 )  # (b, v-1, (v-1)*n, dp)
                 o = others.reshape(b * (v - 1), n_tok, dp)
                 c = cross_ctx.reshape(b * (v - 1), (v - 1) * n_tok, dp)
-                o, _ = CrossBlock(dp, cfg.pose_heads, name=f"pose_cross_attn_{i}")(o, c)
+                o, _ = CrossBlockM(dp, cfg.pose_heads, name=f"pose_cross_attn_{i}")(o, c)
                 rgb_feat = jnp.concatenate(
                     [rgb_feat[:, :1], o.reshape(b, v - 1, n_tok, dp)], axis=1
                 )
@@ -367,7 +387,7 @@ class PoseFreeEncoder(nn.Module):
         rgb_feat = rgb_feat + Mlp(64, dp, name="embed_pose")(pred_pose_enc)
         trunk = rgb_feat
         for i in range(cfg.n_attn_layers):
-            trunk = SelfBlock(dp, cfg.pose_heads, name=f"pose_trunk_{i}")(trunk)
+            trunk = SelfBlockM(dp, cfg.pose_heads, name=f"pose_trunk_{i}")(trunk)
         delta = Mlp(dp * 2, dp + 9 + 2, zero_init=True, name="pose_branch")(trunk)
         delta_pose = delta[..., :9]
         gamma = self.param("pose_gamma", nn.initializers.ones, ())
@@ -386,7 +406,7 @@ class PoseFreeEncoder(nn.Module):
         vs = len(sel)
         adapter = cfg.gaussian_adapter
         raw_ch = cfg.num_surfaces * (adapter.d_in + 2)
-        predictor = DepthPredictorMultiView(
+        predictor = DepthPredictor(
             DepthPredictorCfg(
                 feature_channels=d,
                 upscale_factor=cfg.downscale_factor,

@@ -127,8 +127,13 @@ class PF3plat:
 
     def lpips_apply(self, frozen_params, img0: Array, img1: Array) -> Array:
         """Frozen LPIPS distance (b, h, w, 3) x2 -> (b,); gradient flows to
-        the images, not the VGG weights (reference `loss_lpips.py:44-60`)."""
-        return self.lpips.apply(
+        the images, not the VGG weights (reference `loss_lpips.py:44-60`).
+        Rematerialized: the VGG feature pyramid is recomputed on the
+        backward pass instead of held across the whole step."""
+        fn = jax.checkpoint(
+            lambda p, a, b_: self.lpips.apply(p, a, b_)
+        )
+        return fn(
             jax.lax.stop_gradient(frozen_params["lpips"]), img0, img1
         )
 
