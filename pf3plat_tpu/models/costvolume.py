@@ -157,10 +157,32 @@ class DepthPredictorMultiView(nn.Module):
                 "bvij,bvjk->bvik", w2c[:, order], c2w
             )  # (b, v, 4, 4) maps cur cam -> other cam
             rel_vb = rel.transpose(1, 0, 2, 3).reshape(v * b, 4, 4)
-            warped = warp_with_pose_depth_candidates(
-                feat_other, intr_vb, rel_vb, depth_candi
-            )  # (vb, d, h4, w4, c)
-            corr = (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
+            # Scan over candidate chunks: the full warped volume
+            # ((vb, d, h4, w4, c) — 3G per instance at the reference
+            # scale, the train step's largest buffers) never
+            # materializes; only the (vb, d, h4, w4) correlation leaves
+            # the scan, and the backward rematerializes per chunk.
+            dc = 16
+            if d % dc == 0:
+                chunks = depth_candi.reshape(v * b, d // dc, dc)
+                chunks = chunks.transpose(1, 0, 2)  # (n_chunks, vb, dc)
+
+                def corr_chunk(_, depth_chunk):
+                    warped = warp_with_pose_depth_candidates(
+                        feat_other, intr_vb, rel_vb, depth_chunk
+                    )  # (vb, dc, h4, w4, c)
+                    part = (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
+                    return None, part
+
+                _, parts = jax.lax.scan(corr_chunk, None, chunks)
+                corr = parts.transpose(1, 0, 2, 3, 4).reshape(
+                    v * b, d, h4, w4
+                )
+            else:
+                warped = warp_with_pose_depth_candidates(
+                    feat_other, intr_vb, rel_vb, depth_candi
+                )  # (vb, d, h4, w4, c)
+                corr = (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
             corr_sum = corr_sum + corr
         raw_correlation_in = corr_sum / (v - 1)
         raw_correlation_in = jnp.concatenate(
