@@ -167,12 +167,18 @@ class DepthPredictorMultiView(nn.Module):
                 chunks = depth_candi.reshape(v * b, d // dc, dc)
                 chunks = chunks.transpose(1, 0, 2)  # (n_chunks, vb, dc)
 
-                def corr_chunk(_, depth_chunk):
+                # checkpoint: without it the scan SAVES every chunk's
+                # warped features as backward residuals — re-assembling
+                # the very volume the scan exists to avoid.
+                @jax.checkpoint
+                def corr_body(depth_chunk):
                     warped = warp_with_pose_depth_candidates(
                         feat_other, intr_vb, rel_vb, depth_chunk
                     )  # (vb, dc, h4, w4, c)
-                    part = (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
-                    return None, part
+                    return (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
+
+                def corr_chunk(_, depth_chunk):
+                    return None, corr_body(depth_chunk)
 
                 _, parts = jax.lax.scan(corr_chunk, None, chunks)
                 corr = parts.transpose(1, 0, 2, 3, 4).reshape(
