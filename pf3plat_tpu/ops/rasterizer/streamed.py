@@ -411,6 +411,8 @@ def _fwd_one_tile(
         )
 
     D = config.prefetch_depth
+    E = config.chunks_per_iter
+    n_groups = -(-n_chunks // E)
 
     def start(i, slot):
         dma(i, slot).start()
@@ -463,25 +465,38 @@ def _fwd_one_tile(
         )
         tcar[...] = jnp.where(any_alive, t_last, tcar[...])
 
-    def cond(i):
-        return (i * c < off + count) & (
+    # Loop over GROUPS of E chunks: the early-exit/segment-end condition
+    # is evaluated once per group (scalar<->vector sync + loop control are
+    # the measured per-iteration cost), and the up-to-E-1 overshoot chunks
+    # composite exact zeros (alpha fully masked once past the segment or
+    # saturation), so the image is bit-equal to the E=1 walk.
+    def cond(g):
+        return (g * E * c < off + count) & (
             jnp.max(tcar[...]) >= config.transmittance_min
         )
 
-    def body(i):
-        chunk_body(i)
-        return i + 1
+    def body(g):
+        for e in range(E):
+            ci = g * E + e
 
-    i_final = jax.lax.while_loop(lambda i: (i < n_chunks) & cond(i), body, 0)
+            @pl.when(ci < n_chunks)
+            def _(ci=ci):
+                chunk_body(ci)
+        return g + 1
+
+    g_final = jax.lax.while_loop(
+        lambda g: (g < n_groups) & cond(g), body, 0
+    )
+    i_proc = jnp.minimum(g_final * E, n_chunks)
 
     # Early exit leaves up to D-1 prefetch DMAs in flight (chunks
-    # i_final .. i_final+D-2, from the warm-up ring or body starts) —
+    # i_proc .. i_proc+D-2, from the warm-up ring or body starts) —
     # drain them, or the kernel ends with outstanding DMAs and the next
     # sub-tile / grid step faults.
     for d in range(D - 1):
-        @pl.when(i_final + d < n_chunks)
+        @pl.when(i_proc + d < n_chunks)
         def _(d=d):
-            wait(i_final + d, jax.lax.rem(i_final + d, D))
+            wait(i_proc + d, jax.lax.rem(i_proc + d, D))
 
     img_ref[t] = accum[...] + bg_ref[t] * tcar[...]
     tfin_ref[t] = tcar[...]
@@ -656,6 +671,7 @@ def _bwd_rmw_one_tile(
     n_proc = nproc_ref[row]
     D = config.prefetch_depth
     Dg = 2 * D  # grad ring: extra depth so write drains trail D steps
+    E = config.chunks_per_iter
 
     # Warm-up: D-1 outstanding (feat, grad-read) fetches, reverse order.
     for d0 in range(D - 1):
@@ -665,8 +681,7 @@ def _bwd_rmw_one_tile(
             dma_feat(idx, jax.lax.rem(idx, D), True)
             dma_grad_read(idx, jax.lax.rem(idx, Dg), True)
 
-    def body(k, _):
-        i = n_proc - 1 - k
+    def chunk_step(i):
         slot = jax.lax.rem(i, D)
         slot_g = jax.lax.rem(i, Dg)
 
@@ -700,9 +715,20 @@ def _bwd_rmw_one_tile(
         dma_grad_write(i, slot_g, True)
 
         tail[...] += jnp.sum(m, axis=0, keepdims=True)
+
+    # E chunks per fori iteration (same loop-machinery amortization as the
+    # forward); the tail group's out-of-range chunks are skipped by the
+    # i >= 0 guard, so the walk is identical to the E=1 reverse walk.
+    def body(gk, _):
+        for e in range(E):
+            i = n_proc - 1 - (gk * E + e)
+
+            @pl.when(i >= 0)
+            def _(i=i):
+                chunk_step(i)
         return ()
 
-    jax.lax.fori_loop(0, n_proc, body, ())
+    jax.lax.fori_loop(0, (n_proc + E - 1) // E, body, ())
 
     # Drain every write still in flight (the in-loop drains cover chunks
     # >= Dg only). This is also the cross-step ordering barrier for
@@ -782,8 +808,7 @@ def _streamed_bwd_blocks_kernel(
             idx = n_proc - 1 - d0
             dma_feat(idx, jax.lax.rem(idx, D), True)
 
-    def body(k, _):
-        i = n_proc - 1 - k
+    def chunk_step(i):
         slot = jax.lax.rem(i, D)
 
         @pl.when(i - (D - 1) >= 0)
@@ -804,9 +829,19 @@ def _streamed_bwd_blocks_kernel(
         dblk_ref[0, i] = d_chunk
 
         tail[...] += jnp.sum(m, axis=0, keepdims=True)
+
+    E = config.chunks_per_iter
+
+    def body(gk, _):
+        for e in range(E):
+            i = n_proc - 1 - (gk * E + e)
+
+            @pl.when(i >= 0)
+            def _(i=i):
+                chunk_step(i)
         return ()
 
-    jax.lax.fori_loop(0, n_proc, body, ())
+    jax.lax.fori_loop(0, (n_proc + E - 1) // E, body, ())
 
 
 @functools.lru_cache(maxsize=32)

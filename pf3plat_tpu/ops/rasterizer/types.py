@@ -83,6 +83,18 @@ class RasterizeConfig:
     # (~1 us), so a deeper ring hides the DMA latency; diminishing
     # returns past ~4 (v5e-measured).
     prefetch_depth: int = 4
+    # Chunks processed per streamed-kernel LOOP iteration (python-unrolled
+    # inside the while/fori body). Output is BIT-EXACT for any E: the
+    # forward's early-exit granularity coarsens to E chunks, but chunks
+    # past saturation/segment-end contribute exact zeros (their alpha/seg
+    # masks zero every term), and the backward walks the same checkpointed
+    # chunk set. v5e-measured (bench scene, wall): E=1 23.3 ms, E=2 26.2,
+    # E=4 24.4 — unrolling does NOT pay, which falsifies the "per-chunk
+    # loop machinery" hypothesis for the ~1 us/chunk floor (the cost moves
+    # with the chunk count, i.e. it is the DMA waits / per-chunk work
+    # itself, and early-exit overshoot is real work). Default stays 1;
+    # the knob remains for other scene shapes.
+    chunks_per_iter: int = 1
     # Compaction only engages at or above this many candidate pairs:
     # small scenes (tests, thumbnails) often exceed any fractional budget
     # (dense coverage), the sorts they feed are cheap anyway, and the

@@ -161,3 +161,45 @@ class TestStreamedParity:
         np.testing.assert_allclose(
             np.asarray(s), np.asarray(a), atol=1e-4
         )
+
+
+class TestChunksPerIter:
+    """`chunks_per_iter` unrolls E chunks per kernel loop iteration to
+    amortize the ~1 us/chunk loop machinery (round-4 trace). Images and
+    gradients must be BIT-EQUAL across E: overshoot chunks past the
+    early-exit/segment end contribute exactly-masked zeros."""
+
+    @pytest.mark.parametrize("e", [2, 4])
+    def test_bit_equal_across_unroll(self, e):
+        rng = np.random.default_rng(23)
+        scene = make_scene(rng, n=160, b=2)
+        tgt = jnp.asarray(rng.uniform(0, 1, (2, 48, 32, 3)), jnp.float32)
+
+        def run(cfg):
+            def loss(means, cov, sh, opac):
+                img = render(
+                    scene["extrinsics"], scene["intrinsics"],
+                    scene["near"], scene["far"], (48, 32),
+                    scene["background"], means, cov, sh, opac,
+                    impl="streamed", config=cfg,
+                )
+                return jnp.mean((img - tgt) ** 2), img
+
+            (_, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                             has_aux=True)(
+                scene["means"], scene["covariances"], scene["sh"],
+                scene["opacities"],
+            )
+            return img, g
+
+        import dataclasses
+
+        # tile_capacity=256, chunk=128 -> n_chunks=3: odd, so every E>1
+        # exercises the partial tail group.
+        img1, g1 = run(dataclasses.replace(CFG, chunks_per_iter=1))
+        imgE, gE = run(dataclasses.replace(CFG, chunks_per_iter=e))
+        np.testing.assert_array_equal(np.asarray(imgE), np.asarray(img1))
+        for a, b_, name in zip(g1, gE, ["means", "cov", "sh", "opac"]):
+            np.testing.assert_array_equal(
+                np.asarray(b_), np.asarray(a), err_msg=f"grad {name}"
+            )

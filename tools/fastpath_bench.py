@@ -73,6 +73,7 @@ def main() -> None:
     chunk = int(os.environ.get("PF3PLAT_BENCH_CHUNK", "128"))
     budget_factor = float(os.environ.get("PF3PLAT_BUDGET_FACTOR", "0"))
     compact_window = int(os.environ.get("PF3PLAT_COMPACT_WINDOW", "4096"))
+    chunks_per_iter = int(os.environ.get("PF3PLAT_CHUNKS_PER_ITER", "2"))
     cfg = DecoderCfg(
         impl=impl,
         raster=RasterizeConfig(
@@ -81,6 +82,7 @@ def main() -> None:
             chunk=chunk,
             pairs_budget_factor=budget_factor,
             compact_window=compact_window,
+            chunks_per_iter=chunks_per_iter,
         ),
     )
 
@@ -104,6 +106,7 @@ def main() -> None:
     rays = b * v * h * w
     rec = {
         "impl": impl,
+        "chunks_per_iter": chunks_per_iter,
         "chunk": chunk,
         "budget_factor": budget_factor,
         "compact_window": compact_window,
