@@ -105,6 +105,9 @@ class DepthPredictorCfg:
     depth_unet_feat_dim: int = 32
     depth_unet_attn_res: Sequence[int] = (16,)
     depth_unet_channel_mult: Sequence[int] = (1, 1, 1, 1, 1)
+    # U-Net conv/attention compute dtype ("float32"/"bfloat16"); see
+    # unet.UNetModel — params and norm/softmax reductions stay f32.
+    unet_dtype: str = "float32"
 
 
 class DepthPredictorMultiView(nn.Module):
@@ -199,12 +202,14 @@ class DepthPredictorMultiView(nn.Module):
         x = nn.Conv(cfg.costvolume_unet_feat_dim, (3, 3))(raw_correlation_in)
         x = nn.GroupNorm(num_groups=8)(x)
         x = nn.gelu(x)
+        unet_dtype = jnp.dtype(cfg.unet_dtype)
         x = UNetModel(
             model_channels=cfg.costvolume_unet_feat_dim,
             out_channels=cfg.costvolume_unet_feat_dim,
             attention_resolutions=tuple(cfg.costvolume_unet_attn_res),
             channel_mult=tuple(cfg.costvolume_unet_channel_mult),
             num_views=cfg.num_views,
+            dtype=unet_dtype,
         )(x)
         raw_correlation = nn.Conv(d, (3, 3))(x)
         raw_correlation = raw_correlation + nn.Conv(d, (1, 1))(raw_correlation_in)
@@ -261,6 +266,7 @@ class DepthPredictorMultiView(nn.Module):
             attention_resolutions=tuple(cfg.depth_unet_attn_res),
             channel_mult=tuple(cfg.depth_unet_channel_mult),
             num_views=cfg.num_views,
+            dtype=unet_dtype,
         )(r)
 
         # ---- gaussian + opacity heads (reference :401-415) ----

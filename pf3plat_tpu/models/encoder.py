@@ -105,6 +105,12 @@ class EncoderCfg:
     # 48G). Mirrors the reference's gradient checkpointing in the U-Net
     # attention (`ldm_unet/util.py:102-148`).
     remat: bool = True
+    # Compute dtype of the two cost-volume/depth U-Nets ("float32" or
+    # "bfloat16"). Params and every numerics-sensitive reduction (GroupNorm
+    # statistics, attention softmax, depth PDFs) stay f32; bfloat16 runs
+    # the convs single-pass on the MXU. Trains-from-scratch modules only —
+    # the frozen perception stages are untouched.
+    unet_dtype: str = "float32"
     gaussian_adapter: GaussianAdapterCfg = GaussianAdapterCfg()
     costvolume_unet_feat_dim: int = 128
     costvolume_unet_channel_mult: Sequence[int] = (1, 1, 1)
@@ -420,6 +426,7 @@ class PoseFreeEncoder(nn.Module):
                 depth_unet_feat_dim=cfg.depth_unet_feat_dim,
                 depth_unet_attn_res=tuple(cfg.depth_unet_attn_res),
                 depth_unet_channel_mult=tuple(cfg.depth_unet_channel_mult),
+                unet_dtype=cfg.unet_dtype,
             ),
             name="depth_predictor",
         )

@@ -89,6 +89,36 @@ class TestUNet:
         assert y.shape == (4, 16, 16, 8)
         assert bool(jnp.all(jnp.isfinite(y)))
 
+    def test_bfloat16_compute_dtype(self):
+        """dtype=bfloat16 keeps f32 params/output and tracks the f32
+        forward closely (norm stats and softmax stay f32); gradients
+        stay finite."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 8, 8, 12)), jnp.float32)
+
+        def build(dtype):
+            return UNetModel(
+                model_channels=16, out_channels=8,
+                attention_resolutions=(2,), channel_mult=(1, 1),
+                num_views=2, dtype=dtype,
+            )
+
+        params = build(None).init(jax.random.PRNGKey(0), x)
+        y32 = build(None).apply(params, x)
+        m16 = build(jnp.bfloat16)
+        y16 = m16.apply(params, x)  # same param tree: params stay f32
+        assert y16.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(y16), np.asarray(y32), atol=0.05, rtol=0.05
+        )
+
+        g = jax.grad(
+            lambda p: jnp.sum(m16.apply(p, x) ** 2)
+        )(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
 
 class TestWarp:
     def test_bilinear_sample_identity(self):

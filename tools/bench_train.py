@@ -7,10 +7,12 @@ mirroring the reference's latency accounting
 trains batch 3 at 256x256 on an A6000, `README.md:82`).
 
 Usage: python tools/bench_train.py [batch] [side] [iters] [--trace] [--fwd]
+                                   [key=value ...]
 Prints one JSON line {step_ms, ...}; --trace additionally dumps the per-op
 device-time breakdown (top fusions) so encoder stage costs are attributed.
 --fwd times the forward (encoder+decoder) only, the reference's
-benchmark.json quantity.
+benchmark.json quantity. Bare key=value args become config overrides
+(e.g. encoder.unet_dtype=bfloat16, encoder.remat=false).
 """
 
 import json
@@ -26,8 +28,10 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    argv = sys.argv[1:]
+    cli_overrides = [a for a in argv if "=" in a and not a.startswith("--")]
+    args = [a for a in argv if not a.startswith("--") and "=" not in a]
+    flags = {a for a in argv if a.startswith("--")}
     b = int(args[0]) if len(args) > 0 else 3
     side = int(args[1]) if len(args) > 1 else 256
     iters = int(args[2]) if len(args) > 2 else 10
@@ -59,6 +63,7 @@ def main() -> None:
             "encoder.depth_unet_channel_mult=[1,1,1]",
             "decoder.raster.tile_capacity=256",
         ]
+    overrides += cli_overrides
     cfg = load_config(
         Path(__file__).resolve().parent.parent / "configs" / "re10k.yaml",
         overrides,
@@ -150,6 +155,8 @@ def main() -> None:
         "iters": iters,
         "compile_s": round(compile_s, 1),
     }
+    if cli_overrides:
+        rec["overrides"] = cli_overrides
     print(json.dumps(rec), flush=True)
 
     if "--trace" in flags:
