@@ -92,7 +92,10 @@ class UNetModel(nn.Module):
     channel_mult: Sequence[int] = (1, 1, 1)
     num_head_channels: int = 32
     num_views: int = 2
-    dtype: Any = None  # conv/attention compute dtype (None -> f32)
+    # conv/attention compute dtype. None -> flax default promotion (the
+    # compute dtype is the promotion of input and param dtypes — f32 for
+    # f32 inputs/params, not f32 by fiat).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:

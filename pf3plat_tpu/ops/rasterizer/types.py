@@ -93,7 +93,11 @@ class RasterizeConfig:
     # loop machinery" hypothesis for the ~1 us/chunk floor (the cost moves
     # with the chunk count, i.e. it is the DMA waits / per-chunk work
     # itself, and early-exit overshoot is real work). Default stays 1;
-    # the knob remains for other scene shapes.
+    # the knob remains for other scene shapes. NOTE with E > 1 the up to
+    # E-1 overshoot chunks still write (strictly positive) transmittance
+    # checkpoints, so they count as "processed" in the backward's nproc
+    # recovery (streamed.py: processed <=> max tchk > 0) — the backward
+    # walks them as dead work with exactly-zero gradient contributions.
     chunks_per_iter: int = 1
     # Compaction only engages at or above this many candidate pairs:
     # small scenes (tests, thumbnails) often exceed any fractional budget

@@ -73,7 +73,9 @@ def main() -> None:
     chunk = int(os.environ.get("PF3PLAT_BENCH_CHUNK", "128"))
     budget_factor = float(os.environ.get("PF3PLAT_BUDGET_FACTOR", "0"))
     compact_window = int(os.environ.get("PF3PLAT_COMPACT_WINDOW", "4096"))
-    chunks_per_iter = int(os.environ.get("PF3PLAT_CHUNKS_PER_ITER", "2"))
+    # Default matches RasterizeConfig (E=1, the measured-fastest config);
+    # pass 2/4 explicitly only when probing the unroll knob.
+    chunks_per_iter = int(os.environ.get("PF3PLAT_CHUNKS_PER_ITER", "1"))
     cfg = DecoderCfg(
         impl=impl,
         raster=RasterizeConfig(
