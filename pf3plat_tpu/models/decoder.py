@@ -26,14 +26,17 @@ from .types import DecoderOutput, Gaussians
 Array = jax.Array
 
 # Production rasterizer config: streamed pipeline with pair compaction on
-# (v5e-measured 27.6 -> 22.9 ms fwd+bwd on the bench scene at factor
-# 0.55). 0.65 covers PF3plat's measured ~47% real-pair occupancy with
-# ~37% headroom; scenes that still overflow truncate deterministically
-# (see ops/rasterizer/compact.py) — raise the factor (or set 0.0 for the
-# exact static expansion) for gaussian-dense content. Scenes under
-# compact_min_pairs candidates keep the exact expansion automatically.
-# The library-level `render()` default stays exact (factor 0.0).
-PRODUCTION_CONFIG = RasterizeConfig(pairs_budget_factor=0.65)
+# (v5e-measured 27.6 -> 22.9 ms fwd+bwd on the bench scene pre-cull).
+# With opacity-aware tight tile culling (round 5, on by default) the
+# bench scene's real-pair occupancy is 36.1% of the static expansion
+# (was 47.4% AABB-only), so 0.48 keeps the same ~33% headroom the old
+# 0.65 gave — v5e-measured 23.6 -> 20.3 ms fwd+bwd. Scenes that still
+# overflow truncate deterministically (see ops/rasterizer/compact.py) —
+# raise the factor (or set 0.0 for the exact static expansion) for
+# gaussian-dense content. Scenes under compact_min_pairs candidates keep
+# the exact expansion automatically. The library-level `render()`
+# default stays exact (factor 0.0).
+PRODUCTION_CONFIG = RasterizeConfig(pairs_budget_factor=0.48)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,6 +68,82 @@ def tile_bounds(
     return TileBounds(tx0, ty0, tw, th)
 
 
+def tile_alpha_cull(
+    mu_x: Array,
+    mu_y: Array,
+    ca: Array,
+    cb: Array,
+    cc: Array,
+    opacity: Array,
+    tx: Array,
+    ty: Array,
+    config: RasterizeConfig,
+) -> Array:
+    """Opacity-aware tight tile culling: keep mask for candidate pairs.
+
+    A candidate (gaussian, tile) pair contributes to the composite only
+    where its alpha = opacity * exp(-Q(p - mu)) clears `alpha_min` — the
+    compositing kernels zero every contribution below it (image AND
+    gradients are exactly zero for a fully sub-threshold pair). This
+    computes the EXACT minimum of the positive-definite quadratic
+    Q(d) = 0.5*(ca dx^2 + cc dy^2) + cb dx dy over the tile's pixel-center
+    rectangle (interior => 0; otherwise the min lies on one of the four
+    edges, each a clamped 1D quadratic), and drops pairs whose best-case
+    alpha still misses the cutoff. A relative+absolute relaxation of Qmin
+    absorbs the float32 evaluation differences vs the kernels' per-pixel
+    power computation, keeping the cull strictly conservative — dropped
+    pairs are exactly-zero pairs, so compositing order is unchanged and
+    images/gradients match AABB-only binning to f32 reassociation
+    (removing a zero pair shifts later pairs across chunk boundaries,
+    reassociating the transmittance product: ~1e-7 image / ~1e-8 gradient
+    deltas, measured). Capacity-truncated tiles aside, where culling only
+    ADMITS more contributing gaussians.
+
+    The reference's CUDA rasterizer bins by the same AABB-only test
+    (diff-gaussian-rasterization `duplicateWithKeys`); tighter per-tile
+    culling is the standard follow-up in the 3DGS literature and measures
+    a large dead-pair reduction on pixel-aligned PF3plat scenes.
+
+    All args broadcast together over the candidate layout ((b, n, dup) or
+    (dup, b, n)); `tx`/`ty` are the candidate's integer tile coords.
+    Returns True where the pair may contribute.
+    """
+    ts = config.tile_size
+    f = jnp.float32
+    rx0 = tx.astype(f) * ts + 0.5
+    ry0 = ty.astype(f) * ts + 0.5
+    dxl = rx0 - mu_x
+    dxh = rx0 + (ts - 1.0) - mu_x
+    dyl = ry0 - mu_y
+    dyh = ry0 + (ts - 1.0) - mu_y
+    inside = (dxl <= 0) & (dxh >= 0) & (dyl <= 0) & (dyh >= 0)
+
+    tiny = jnp.float32(1e-12)
+    ca_s = jnp.maximum(ca, tiny)
+    cc_s = jnp.maximum(cc, tiny)
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    def edge_x(a):  # dx fixed at a, dy free in [dyl, dyh]
+        d = jnp.clip(-cb * a / cc_s, dyl, dyh)
+        return q(a, d)
+
+    def edge_y(b_):  # dy fixed at b_, dx free in [dxl, dxh]
+        d = jnp.clip(-cb * b_ / ca_s, dxl, dxh)
+        return q(d, b_)
+
+    q_edge = jnp.minimum(
+        jnp.minimum(edge_x(dxl), edge_x(dxh)),
+        jnp.minimum(edge_y(dyl), edge_y(dyh)),
+    )
+    q_min = jnp.where(inside, 0.0, q_edge)
+    # Strictly-conservative relaxation: inflate the alpha bound beyond any
+    # f32 evaluation skew between this bound and the kernels' power math.
+    q_relaxed = jnp.maximum(q_min * (1.0 - 1e-4) - 1e-5, 0.0)
+    return opacity * jnp.exp(-q_relaxed) >= config.alpha_min
+
+
 class BinnedTiles(NamedTuple):
     indices: Array  # (num_tiles, capacity) int32 gaussian ids, -1 padded
     counts: Array   # (num_tiles,) int32
@@ -132,6 +208,14 @@ def bin_gaussians_batched(
     dy = slot // side
     dx = slot % side
     in_box = (dy < bounds.th[..., None]) & (dx < bounds.tw[..., None])  # (b, n, dup)
+    if config.tight_cull:
+        in_box &= tile_alpha_cull(
+            screen.xy[..., 0:1], screen.xy[..., 1:2],
+            screen.conic[..., 0:1], screen.conic[..., 1:2],
+            screen.conic[..., 2:3], screen.opacity[..., None],
+            bounds.tx0[..., None] + dx, bounds.ty0[..., None] + dy,
+            config,
+        )
     tile = (bounds.ty0[..., None] + dy) * tiles_x + (bounds.tx0[..., None] + dx)
     b_off = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[:, None, None]
     tile_key = jnp.where(in_box, tile + b_off, _INT32_MAX).reshape(total_pairs)

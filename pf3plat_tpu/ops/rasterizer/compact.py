@@ -60,7 +60,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import tile_bounds, _depth_sort_key, _INT32_MAX
+from .binning import (
+    tile_bounds, tile_alpha_cull, _depth_sort_key, _INT32_MAX
+)
 from .types import RasterizeConfig, ScreenGaussians
 
 Array = jax.Array
@@ -318,6 +320,14 @@ def compact_pairs(
     dy = slot // side
     dx = slot % side
     in_box = (dy < bounds.th[None]) & (dx < bounds.tw[None])
+    if config.tight_cull:
+        in_box &= tile_alpha_cull(
+            screen.xy[None, ..., 0], screen.xy[None, ..., 1],
+            screen.conic[None, ..., 0], screen.conic[None, ..., 1],
+            screen.conic[None, ..., 2], screen.opacity[None],
+            bounds.tx0[None] + dx, bounds.ty0[None] + dy,
+            config,
+        )
     tile = (bounds.ty0[None] + dy) * tiles_x + (bounds.tx0[None] + dx)
     b_off = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[None, :, None]
     def as_bits(x):

@@ -51,6 +51,17 @@ class RasterizeConfig:
     # (e.g. scenes whose far plane is orders of magnitude beyond content,
     # where uniform quantization is coarse near the camera).
     fused_sort_key: bool = True
+    # Opacity-aware tight tile culling (binning.tile_alpha_cull): drop
+    # candidate (gaussian, tile) pairs whose conservative max alpha over
+    # the tile's pixel centers is below alpha_min. Those pairs composite
+    # exact zeros (image and gradients); dropping them only reassociates
+    # the transmittance product across chunk boundaries, so every binned
+    # backend matches its cull-off self to ~1e-7 (f32 reassociation) —
+    # except capacity-truncated tiles, where culling ADMITS more
+    # contributing gaussians (strictly closer to the uncapped oracle). Cuts real-pair occupancy substantially on
+    # pixel-aligned PF3plat scenes (fewer sort rows, smaller compaction
+    # budgets, shorter kernel chunk walks); costs ~40 VPU ops/candidate.
+    tight_cull: bool = True
     # Dense-table layout fed to the pallas compositor:
     #   "f_major"    — (rows, F, cap): features on sublanes, slots on lanes;
     #                  requires an XLA relayout of the gather output

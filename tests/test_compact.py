@@ -30,6 +30,10 @@ def _cfg(**kw):
         tile_size=16, tile_capacity=256, chunk=128,
         pairs_budget_factor=1.0, compact_window=512,
         compact_min_pairs=0,  # tests exercise compaction at any size
+        # These tests pin the compaction KERNEL's mechanics against numpy
+        # enumerations of the exact AABB candidate rule; the tight cull
+        # has its own parity tests (test_rasterizer.py::TestTightCull).
+        tight_cull=False,
     )
     base.update(kw)
     return RasterizeConfig(**base)

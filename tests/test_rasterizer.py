@@ -282,6 +282,106 @@ class TestTiledVsBruteforce:
         # Gradients must be finite and nonzero.
         assert float(jnp.abs(g_t[0]).max()) > 0
 
+class TestTightCull:
+    """Opacity-aware tile culling (binning.tile_alpha_cull) drops only
+    exactly-zero pairs. Removing a zero pair shifts later pairs across
+    chunk boundaries, reassociating the transmittance product, so images
+    and gradients match to f32 reassociation (~1e-7, measured) rather
+    than bit-for-bit; the candidate-pair count must measurably shrink."""
+
+    def _loss_grads(self, scene, shape, impl, cfg):
+        target = jnp.zeros((*scene["near"].shape, *shape, 3))
+
+        def loss(means, cov, sh, opac):
+            img = render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], shape, scene["background"], means, cov, sh,
+                opac, impl=impl, config=cfg,
+            )
+            return jnp.mean((img - target) ** 2), img
+
+        (l, img), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(
+            scene["means"], scene["covariances"], scene["sh"],
+            scene["opacities"],
+        )
+        return img, grads
+
+    @pytest.mark.parametrize("impl", ["streamed", "pallas"])
+    def test_cull_bit_equal(self, impl):
+        rng = np.random.default_rng(31)
+        scene = make_scene(rng, n=192, b=2)
+        shape = (48, 64)
+        base = dict(tile_size=16, tile_capacity=256, chunk=128)
+        img_on, g_on = self._loss_grads(
+            scene, shape, impl, RasterizeConfig(**base, tight_cull=True)
+        )
+        img_off, g_off = self._loss_grads(
+            scene, shape, impl, RasterizeConfig(**base, tight_cull=False)
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_on), np.asarray(img_off), atol=3e-6, rtol=0
+        )
+        for a, b, name in zip(g_on, g_off, ["means", "cov", "sh", "opac"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-7, rtol=1e-4,
+                err_msg=f"cull changed gradient for {name}",
+            )
+
+    def test_cull_bit_equal_compacted(self):
+        rng = np.random.default_rng(32)
+        scene = make_scene(rng, n=192, b=2)
+        shape = (48, 64)
+        base = dict(
+            tile_size=16, tile_capacity=256, chunk=128,
+            pairs_budget_factor=1.0, compact_min_pairs=0,
+        )
+        img_on, g_on = self._loss_grads(
+            scene, shape, "streamed", RasterizeConfig(**base, tight_cull=True)
+        )
+        img_off, g_off = self._loss_grads(
+            scene, shape, "streamed",
+            RasterizeConfig(**base, tight_cull=False),
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_on), np.asarray(img_off), atol=3e-6, rtol=0
+        )
+        for a, b in zip(g_on, g_off):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-7, rtol=1e-4
+            )
+
+    def test_cull_reduces_candidates(self):
+        from pf3plat_tpu.ops.rasterizer.compact import compact_pairs
+        from pf3plat_tpu.ops.rasterizer.project import project_gaussians
+        from pf3plat_tpu.ops.rasterizer.api import make_camera
+
+        rng = np.random.default_rng(33)
+        scene = make_scene(rng, n=256, b=2)
+        shape = (48, 64)
+        totals = {}
+        for cull in (True, False):
+            cfg = RasterizeConfig(
+                tile_size=16, tile_capacity=256, chunk=128,
+                pairs_budget_factor=1.0, compact_min_pairs=0,
+                tight_cull=cull,
+            )
+            cam = make_camera(scene["extrinsics"], scene["intrinsics"], shape)
+            screen = jax.vmap(
+                lambda c, m, cv, o, s: project_gaussians(
+                    c, m, cv, o, s, 4, cfg
+                )
+            )(
+                cam, scene["means"], scene["covariances"],
+                scene["opacities"], scene["sh"],
+            )
+            cp = jax.jit(lambda s: compact_pairs(s, shape, cfg))(screen)
+            totals[cull] = int(cp["total"])
+        assert totals[True] < totals[False]
+
+
+class TestTiledVsBruteforceSlow:
     @pytest.mark.slow
     def test_numerical_gradient_opacity(self):
         """Finite-difference check of d(loss)/d(opacity) on a tiny scene."""
