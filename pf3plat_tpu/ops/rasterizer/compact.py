@@ -285,9 +285,19 @@ def compact_pairs(
     screen: ScreenGaussians,
     image_shape: tuple[int, int],
     config: RasterizeConfig,
+    tile_lo=None,
+    tile_hi=None,
+    budget_override: int | None = None,
 ):
     """Expand candidate pairs (slot-major, like streamed._pair_sort) and
     compact the valid rows into a static `budget`-row plane.
+
+    `tile_lo`/`tile_hi` (optional, traced or static i32): keep only pairs
+    whose flat batch*tile key lies in [tile_lo, tile_hi) — the shard-local
+    pipeline's ownership mask (each mesh shard compacts just its own tile
+    rows out of the full candidate stream). `budget_override` sets the
+    static output budget directly (the per-shard budget differs from the
+    global formula).
 
     Returns a dict:
       tile (budget,) i32 (INT32_MAX pad), dkey (budget,) i32 monotone
@@ -330,6 +340,10 @@ def compact_pairs(
         )
     tile = (bounds.ty0[None] + dy) * tiles_x + (bounds.tx0[None] + dx)
     b_off = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[None, :, None]
+    if tile_lo is not None:
+        key = tile + b_off
+        in_box = in_box & (key >= tile_lo) & (key < tile_hi)
+
     def as_bits(x):
         return jax.lax.bitcast_convert_type(x, jnp.float32)
 
@@ -392,7 +406,10 @@ def compact_pairs(
     if n_cand % c0:
         cand = jnp.pad(cand, ((0, 0), (0, c0 - n_cand % c0)))
         n_cand += c0 - n_cand % c0
-    budget = pairs_budget(config, b, n)
+    budget = (
+        budget_override if budget_override is not None
+        else pairs_budget(config, b, n)
+    )
 
     interpret = jax.default_backend() != "tpu"
     call = _make_compact_call(n_cand, budget, c0, interpret)
@@ -432,6 +449,13 @@ def _banded_reduce_kernel(
     base_ref,       # scalar prefetch (n_blocks,): window base per block,
                     # in 128-row TILES (Mosaic needs provably aligned
                     # lane-dim DMA offsets: base * 128)
+    flag_ref,       # scalar prefetch (n_blocks,): 1 iff the block owns
+                    # any rows (empty blocks skip DMA + matmul entirely
+                    # and write exact zeros — the value they would have
+                    # computed). Under the shard-local mesh pipeline a
+                    # shard's rows cluster into contiguous gaussian-id
+                    # bands, so ~(S-1)/S of the blocks skip and the
+                    # reduce cost scales with the shard's occupancy.
     grads_hbm,      # (16, budget) ANY: ascending-pair-id gradient plane
     out_ref,        # (16, T*G1) VMEM out block: per-gaussian sums
     win,            # VMEM (2, 16, W) double buffer
@@ -453,44 +477,59 @@ def _banded_reduce_kernel(
 
     # `t_step` blocks per grid step (amortizes the per-step pipeline
     # machinery); the 2-slot prefetch ring spans sub-blocks AND grid
-    # steps (semaphores persist across the sequential grid).
+    # steps (semaphores persist across the sequential grid). Skipped
+    # blocks advance the ring parity without starting/waiting a DMA, so
+    # slot ownership is unchanged: a slot's previous occupant was waited
+    # when ITS block ran (or never started).
     for t in range(t_step):
         bb = r * t_step + t
         slot = jax.lax.rem(bb, 2)
 
-        @pl.when(bb == 0)
+        @pl.when((bb == 0) & (flag_ref[0] == 1))
         def _():
             dma(0, 0).start()
 
         @pl.when(bb + 1 < n_blocks)
         def _():
-            dma(bb + 1, jax.lax.rem(bb + 1, 2)).start()
+            @pl.when(flag_ref[bb + 1] == 1)
+            def _():
+                dma(bb + 1, jax.lax.rem(bb + 1, 2)).start()
 
-        dma(bb, slot).wait()
+        @pl.when(flag_ref[bb] == 1)
+        def _():
+            dma(bb, slot).wait()
 
-        # Ownership from the carried (bitcast) pair ids: window row j
-        # belongs to gaussian id // max_dup. Pad rows carry INT32_MAX
-        # ids whose owner is out of range, so they never select (which
-        # also makes clamped windows and overflow-dropped pairs exact).
-        # NOTE the ids row does ride the matmul below as NaN-ish bit
-        # patterns — harmless, matmul rows are independent and output
-        # row _GROW_ID is discarded.
-        ids = win[slot][_GROW_ID : _GROW_ID + 1, :]      # (1, W) f32 bits
-        owner = jax.lax.bitcast_convert_type(ids, jnp.int32) // max_dup
-        g = (
-            jax.lax.broadcasted_iota(jnp.int32, (g1, w_rows), 0)
-            + bb * g1
-        )
-        sel = (owner == g).astype(jnp.float32)           # (g1, W)
-        # HIGHEST: full-f32 MXU passes. sel is exactly 0/1, so each
-        # output is an exact sum of <= max_dup unaltered f32 gradients —
-        # measured on chip, the default (bf16 single-pass) loses ~2^-11
-        # relative and fails the oracle gradient gates.
-        out_ref[:, t * g1 : (t + 1) * g1] = jax.lax.dot_general(
-            win[slot], sel, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            # Ownership from the carried (bitcast) pair ids: window row
+            # j belongs to gaussian id // max_dup. Pad rows carry
+            # INT32_MAX ids whose owner is out of range, so they never
+            # select (which also makes clamped windows and
+            # overflow-dropped pairs exact). NOTE the ids row does ride
+            # the matmul below as NaN-ish bit patterns — harmless,
+            # matmul rows are independent and output row _GROW_ID is
+            # discarded.
+            ids = win[slot][_GROW_ID : _GROW_ID + 1, :]  # (1, W) f32 bits
+            owner = jax.lax.bitcast_convert_type(ids, jnp.int32) // max_dup
+            g = (
+                jax.lax.broadcasted_iota(jnp.int32, (g1, w_rows), 0)
+                + bb * g1
+            )
+            sel = (owner == g).astype(jnp.float32)       # (g1, W)
+            # HIGHEST: full-f32 MXU passes. sel is exactly 0/1, so each
+            # output is an exact sum of <= max_dup unaltered f32
+            # gradients — measured on chip, the default (bf16
+            # single-pass) loses ~2^-11 relative and fails the oracle
+            # gradient gates.
+            out_ref[:, t * g1 : (t + 1) * g1] = jax.lax.dot_general(
+                win[slot], sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(flag_ref[bb] == 0)
+        def _():
+            out_ref[:, t * g1 : (t + 1) * g1] = jnp.zeros(
+                (_R, g1), jnp.float32
+            )
 
 
 @functools.lru_cache(maxsize=16)
@@ -510,7 +549,7 @@ def _make_banded_reduce(
             max_dup=max_dup, n_blocks=n_blocks, t_step=t_step,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(n_blocks // t_step,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
             out_specs=pl.BlockSpec(
@@ -559,26 +598,30 @@ def banded_dup_reduce(
     w_rows = g1 * max_dup + 128
 
     # Window base per block: first row whose pair id belongs to gaussian
-    # >= block start — a binary search with only n_blocks targets (the
+    # >= block start — a binary search with only n_blocks+1 targets (the
     # per-gaussian prefix array would need b*n-target gathers or big
-    # cumsums; both measured slow).
-    targets = jnp.arange(n_blocks, dtype=jnp.int32) * (g1 * max_dup)
-    lo = jnp.zeros((n_blocks,), jnp.int32)
-    hi = jnp.full((n_blocks,), budget, jnp.int32)
+    # cumsums; both measured slow). The +1 target yields each block's
+    # exclusive END, from which empty blocks (no owned rows — the common
+    # case on a shard-local mesh shard, whose rows cluster into
+    # contiguous id bands) are flagged for the kernel to skip.
+    targets = jnp.arange(n_blocks + 1, dtype=jnp.int32) * (g1 * max_dup)
+    lo = jnp.zeros((n_blocks + 1,), jnp.int32)
+    hi = jnp.full((n_blocks + 1,), budget, jnp.int32)
     for _ in range(max(1, int(budget).bit_length())):
         mid = (lo + hi) // 2
         v = ids_unsorted[jnp.minimum(mid, budget - 1)]
         ge = (v >= targets) | (mid >= budget)
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid + 1)
+    flags = (lo[1:] > lo[:-1]).astype(jnp.int32)
     # Bases in 128-row tiles (rounded down — the window carries +128 rows
     # of slack), clamped inside the plane; selection is by absolute id,
     # so clamped/slack rows never select.
-    base_t = jnp.minimum(lo // 128, jnp.int32((budget - w_rows) // 128))
+    base_t = jnp.minimum(lo[:-1] // 128, jnp.int32((budget - w_rows) // 128))
 
     interpret = jax.default_backend() != "tpu"
     call = _make_banded_reduce(
         n_pad, budget, g1, max_dup, t_step, interpret
     )
-    out = call(base_t, grads)
+    out = call(base_t, flags, grads)
     return out[:, :n_gauss]

@@ -243,6 +243,9 @@ def _pair_sort_compacted(
     screen: ScreenGaussians,
     image_shape: tuple[int, int],
     config: RasterizeConfig,
+    tile_lo=None,
+    n_tiles_out: int | None = None,
+    budget_override: int | None = None,
 ):
     """Compacted variant of `_pair_sort`: expand + compact candidates to
     a static budget (compact.py), then run the SAME keyed sorts over the
@@ -250,7 +253,14 @@ def _pair_sort_compacted(
     rows x operands). Composite order is identical — the carried pair
     ids reproduce the uncompacted tie order exactly.
 
-    Returns (featP, ids_sorted, starts, tiles_x, tiles_y, budget).
+    `tile_lo` + `n_tiles_out` (+ `budget_override`) restrict the pipeline
+    to the flat tile-key range [tile_lo, tile_lo + n_tiles_out): the
+    shard-local mesh path (shard_local.py), where each shard compacts and
+    sorts ONLY its own tile rows. `tile_lo` may be traced (it depends on
+    the shard index); `n_tiles_out` and the budget are static.
+
+    Returns (featP, ids_sorted, starts, tiles_x, tiles_y, budget); starts
+    has n_tiles_out + 1 entries relative to the range.
     """
     h, w = image_shape
     ts = config.tile_size
@@ -260,8 +270,16 @@ def _pair_sort_compacted(
     b, n = screen.depth.shape
     total_tiles = b * num_tiles
     channels = screen.color.shape[-1]
+    if n_tiles_out is None:
+        n_tiles_out = total_tiles
+    t0 = 0 if tile_lo is None else tile_lo
 
-    cp = compact_pairs(screen, image_shape, config)
+    cp = compact_pairs(
+        screen, image_shape, config,
+        tile_lo=tile_lo,
+        tile_hi=None if tile_lo is None else tile_lo + n_tiles_out,
+        budget_override=budget_override,
+    )
     budget = cp["budget"]
     feats = tuple(cp["feats"][: 6 + channels])
 
@@ -292,9 +310,9 @@ def _pair_sort_compacted(
         feats_sorted = sorted_ops[3:]
 
     # Segment starts: same fixed-iteration binary search as _pair_sort.
-    targets = jnp.arange(total_tiles + 1, dtype=jnp.int32)
-    lo = jnp.zeros((total_tiles + 1,), jnp.int32)
-    hi = jnp.full((total_tiles + 1,), budget, jnp.int32)
+    targets = t0 + jnp.arange(n_tiles_out + 1, dtype=jnp.int32)
+    lo = jnp.zeros((n_tiles_out + 1,), jnp.int32)
+    hi = jnp.full((n_tiles_out + 1,), budget, jnp.int32)
     for _ in range(max(1, int(budget).bit_length())):
         mid = (lo + hi) // 2
         v = tile_sorted[jnp.minimum(mid, budget - 1)]
@@ -353,21 +371,30 @@ def _streamed_fwd_kernel(
     img_ref,         # (T, ch, P) out
     tfin_ref,        # (T, 1, P) out
     tchk_ref,        # (T, n_chunks, P) out
-    buf,             # VMEM (D, 16, c) prefetch ring
+    buf,             # VMEM (2, 16, n_chunks*c) whole-window double buffer
     accum,           # VMEM (ch, P)
     tcar,            # VMEM (1, P)
-    sem,             # DMA sem (D,)
+    sem,             # DMA sem (2,)
     *,
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
     n_chunks: int,
     t_step: int,
+    rows: int,
 ):
     """Composites `t_step` tiles per grid step (python-unrolled): the
     per-step pipeline machinery (block copies, semaphores, prologue) is
     a measured ~3 us/tile at t_step=1 — amortizing it across tiles is
-    worth more than any chunk-level tuning."""
+    worth more than any chunk-level tuning.
+
+    Feature fetch is ONE whole-window DMA per tile (n_chunks*c lanes),
+    double-buffered across consecutive tiles: the per-chunk prefetch
+    ring paid ~1 us of scalar-core DMA start/wait per chunk REGARDLESS
+    of depth (v5e-measured, round 4), so one DMA per tile replaces
+    ~n_proc of them; the extra bytes past the early-exit point are HBM
+    bandwidth, which the streamed frame has in abundance (the whole
+    feature plane is ~2 ms of traffic against a ~17 ms frame)."""
     c = config.chunk  # multiple of 128
     ts = config.tile_size
     p = ts * ts
@@ -377,22 +404,33 @@ def _streamed_fwd_kernel(
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
 
+    def window_dma(row, slot):
+        return pltpu.make_async_copy(
+            featP_hbm.at[:, pl.ds(base_ref[row] * c, n_chunks * c)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        window_dma(0, 0).start()
+
     for t in range(t_step):
         _fwd_one_tile(
-            r * t_step + t, t, base_ref, off_ref, counts_ref, tile_ids_ref,
-            featP_hbm, bg_ref, img_ref, tfin_ref, tchk_ref,
-            buf, accum, tcar, sem,
+            r * t_step + t, t, off_ref, counts_ref, tile_ids_ref,
+            bg_ref, img_ref, tfin_ref, tchk_ref,
+            buf, accum, tcar, window_dma,
             config=config, channels=channels, tiles_x=tiles_x,
             n_chunks=n_chunks, l_incl=l_incl, lane_col=lane_col,
-            local=local,
+            local=local, rows=rows,
         )
 
 
 def _fwd_one_tile(
-    row, t, base_ref, off_ref, counts_ref, tile_ids_ref,
-    featP_hbm, bg_ref, img_ref, tfin_ref, tchk_ref,
-    buf, accum, tcar, sem,
-    *, config, channels, tiles_x, n_chunks, l_incl, lane_col, local,
+    row, t, off_ref, counts_ref, tile_ids_ref,
+    bg_ref, img_ref, tfin_ref, tchk_ref,
+    buf, accum, tcar, window_dma,
+    *, config, channels, tiles_x, n_chunks, l_incl, lane_col, local, rows,
 ):
     c = config.chunk
     ts = config.tile_size
@@ -405,7 +443,6 @@ def _fwd_one_tile(
     px = (tx * ts + local % ts).astype(dtype) + 0.5
     py = (ty * ts + local // ts).astype(dtype) + 0.5
 
-    base = base_ref[row]
     off = off_ref[row]
     count = counts_ref[row]
 
@@ -413,40 +450,22 @@ def _fwd_one_tile(
     tcar[...] = jnp.ones((1, p), dtype)
     tchk_ref[t] = jnp.zeros((n_chunks, p), dtype)
 
-    def dma(i, slot):
-        return pltpu.make_async_copy(
-            featP_hbm.at[:, pl.ds((base + i) * c, c)],
-            buf.at[slot],
-            sem.at[slot],
-        )
+    slot = jax.lax.rem(row, 2)
+    # Prefetch the NEXT tile's window into the other slot, then wait for
+    # this tile's — consecutive tiles overlap fetch with compute. The
+    # other slot is free: its previous owner (row-1) was waited one tile
+    # ago.
+    @pl.when(row + 1 < rows)
+    def _():
+        window_dma(row + 1, jax.lax.rem(row + 1, 2)).start()
 
-    D = config.prefetch_depth
+    window_dma(row, slot).wait()
+
     E = config.chunks_per_iter
     n_groups = -(-n_chunks // E)
 
-    def start(i, slot):
-        dma(i, slot).start()
-
-    def wait(i, slot):
-        dma(i, slot).wait()
-
-    # Depth-D prefetch ring: the per-step cost is DMA-latency bound (the
-    # compute is ~0.3 us while an HBM round trip is ~1 us), so keep D-1
-    # chunk fetches in flight instead of one.
-    for j in range(D - 1):
-        @pl.when(j < n_chunks)
-        def _(j=j):
-            start(j, j)
-
     def chunk_body(i):
-        slot = jax.lax.rem(i, D)
-
-        @pl.when(i + D - 1 < n_chunks)
-        def _():
-            start(i + D - 1, jax.lax.rem(i + D - 1, D))
-
-        wait(i, slot)
-        data = buf[slot]                       # (16, c)
+        data = buf[slot, :, pl.ds(i * c, c)]   # (16, c)
         alpha, _, _, _, _ = _chunk_alpha_cols(data, px, py, config)
         # Mask rows outside this tile's segment [off, off+count).
         j = i * c + lane_col                   # global window position
@@ -494,19 +513,7 @@ def _fwd_one_tile(
                 chunk_body(ci)
         return g + 1
 
-    g_final = jax.lax.while_loop(
-        lambda g: (g < n_groups) & cond(g), body, 0
-    )
-    i_proc = jnp.minimum(g_final * E, n_chunks)
-
-    # Early exit leaves up to D-1 prefetch DMAs in flight (chunks
-    # i_proc .. i_proc+D-2, from the warm-up ring or body starts) —
-    # drain them, or the kernel ends with outstanding DMAs and the next
-    # sub-tile / grid step faults.
-    for d in range(D - 1):
-        @pl.when(i_proc + d < n_chunks)
-        def _(d=d):
-            wait(i_proc + d, jax.lax.rem(i_proc + d, D))
+    jax.lax.while_loop(lambda g: (g < n_groups) & cond(g), body, 0)
 
     img_ref[t] = accum[...] + bg_ref[t] * tcar[...]
     tfin_ref[t] = tcar[...]
@@ -592,10 +599,10 @@ def _streamed_bwd_rmw_kernel(
     gP_in,           # (16, padded) ANY — aliased to gP_hbm (zero-filled)
     gP_hbm,          # (16, padded) ANY out: in-place gradient accumulator
     dbg_ref,         # (T, ch, 1) out
-    fbuf,            # VMEM (D, 16, c) feature prefetch ring
+    fbuf,            # VMEM (2, 16, n_chunks*c) feature window double buffer
     gbuf,            # VMEM (2D, 16, c) gradient RMW ring
     tail,            # VMEM (1, P)
-    semF,            # DMA sems (D,)
+    semF,            # DMA sems (2,)
     semGR, semGW,    # DMA sems (2D,)
     *,
     config: RasterizeConfig,
@@ -603,6 +610,7 @@ def _streamed_bwd_rmw_kernel(
     tiles_x: int,
     n_chunks: int,
     t_step: int,
+    rows: int,
 ):
     """In-place (read-modify-write) backward: gradients accumulate directly
     into HBM buffers laid out like the sorted features. Correctness of the
@@ -610,23 +618,43 @@ def _streamed_bwd_rmw_kernel(
     per-(sub-)tile DMA drain: a tile's writes complete before the next
     tile's reads of the shared window start. NOT safe under a sharded grid
     — the mesh path uses `_streamed_bwd_blocks_kernel` instead. Processes
-    `t_step` tiles per grid step (cf. `_streamed_fwd_kernel`)."""
+    `t_step` tiles per grid step (cf. `_streamed_fwd_kernel`).
+
+    Features arrive as ONE whole-window DMA per tile, double-buffered
+    across tiles (same rationale as the forward: the per-chunk ring's
+    DMA start/wait ops are ~1 us of scalar-core time each). The GRADIENT
+    streams stay per-chunk RMW rings: their HBM windows are read-modify-
+    written and shared with the next tile, so whole-window double
+    buffering would race the neighbor's drain."""
     r = pl.program_id(0)
+
+    def window_dma(row, slot):
+        return pltpu.make_async_copy(
+            featP_hbm.at[:, pl.ds(base_ref[row] * config.chunk,
+                                  n_chunks * config.chunk)],
+            fbuf.at[slot],
+            semF.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        window_dma(0, 0).start()
+
     for t in range(t_step):
         _bwd_rmw_one_tile(
             r * t_step + t, t, base_ref, off_ref, counts_ref, tile_ids_ref,
-            nproc_ref, featP_hbm, bg_ref, tchk_ref, tfin_ref,
+            nproc_ref, bg_ref, tchk_ref, tfin_ref,
             gimg_ref, gtf_ref, gP_hbm, dbg_ref, fbuf, gbuf, tail,
-            semF, semGR, semGW, config=config, channels=channels,
-            tiles_x=tiles_x, n_chunks=n_chunks,
+            window_dma, semGR, semGW, config=config, channels=channels,
+            tiles_x=tiles_x, n_chunks=n_chunks, rows=rows,
         )
 
 
 def _bwd_rmw_one_tile(
     row, t, base_ref, off_ref, counts_ref, tile_ids_ref, nproc_ref,
-    featP_hbm, bg_ref, tchk_ref, tfin_ref, gimg_ref, gtf_ref,
-    gP_hbm, dbg_ref, fbuf, gbuf, tail, semF, semGR, semGW,
-    *, config, channels, tiles_x, n_chunks,
+    bg_ref, tchk_ref, tfin_ref, gimg_ref, gtf_ref,
+    gP_hbm, dbg_ref, fbuf, gbuf, tail, window_dma, semGR, semGW,
+    *, config, channels, tiles_x, n_chunks, rows,
 ):
     c = config.chunk
     ts = config.tile_size
@@ -653,12 +681,13 @@ def _bwd_rmw_one_tile(
     u_suf = _tri_suffix(c, dtype)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
-    def dma_feat(i, slot, start):
-        d = pltpu.make_async_copy(
-            featP_hbm.at[:, pl.ds((base + i) * c, c)],
-            fbuf.at[slot], semF.at[slot],
-        )
-        d.start() if start else d.wait()
+    fslot = jax.lax.rem(row, 2)
+
+    @pl.when(row + 1 < rows)
+    def _():
+        window_dma(row + 1, jax.lax.rem(row + 1, 2)).start()
+
+    window_dma(row, fslot).wait()
 
     def dma_grad_read(i, slot, start):
         d = pltpu.make_async_copy(
@@ -683,16 +712,14 @@ def _bwd_rmw_one_tile(
     Dg = 2 * D  # grad ring: extra depth so write drains trail D steps
     E = config.chunks_per_iter
 
-    # Warm-up: D-1 outstanding (feat, grad-read) fetches, reverse order.
+    # Warm-up: D-1 outstanding grad-read fetches, reverse order.
     for d0 in range(D - 1):
         @pl.when(n_proc - 1 - d0 >= 0)
         def _(d0=d0):
             idx = n_proc - 1 - d0
-            dma_feat(idx, jax.lax.rem(idx, D), True)
             dma_grad_read(idx, jax.lax.rem(idx, Dg), True)
 
     def chunk_step(i):
-        slot = jax.lax.rem(i, D)
         slot_g = jax.lax.rem(i, Dg)
 
         idx2 = i - (D - 1)
@@ -709,13 +736,10 @@ def _bwd_rmw_one_tile(
             def _():
                 dma_grad_write(idx2 + Dg, sg2, False)
 
-            dma_feat(idx2, jax.lax.rem(idx2, D), True)
             dma_grad_read(idx2, sg2, True)
 
-        dma_feat(i, slot, False)
-
         d_chunk, m = _bwd_chunk_grads(
-            fbuf[slot], tchk_ref[t, i, :][None, :],
+            fbuf[fslot, :, pl.ds(i * c, c)], tchk_ref[t, i, :][None, :],
             g, tail[...], px, py, off, count, lane_col, l_incl, u_suf,
             config, channels, i,
         )
@@ -763,23 +787,37 @@ def _streamed_bwd_blocks_kernel(
     gtf_ref,         # (1, 1, P)
     dblk_ref,        # (1, n_chunks, 16, c) out: per-chunk gradient blocks
     dbg_ref,         # (1, ch, 1) out
-    fbuf,            # VMEM (D, 16, c) feature prefetch ring
+    fbuf,            # VMEM (2, 16, n_chunks*c) feature window double buffer
     tail,            # VMEM (1, P)
-    semF,            # DMA sems (D,)
+    semF,            # DMA sems (2,)
     *,
     config: RasterizeConfig,
     channels: int,
     tiles_x: int,
     n_chunks: int,
+    rows: int,
 ):
     """Block-output backward (mesh path): emits per-(tile, chunk) gradient
     blocks — pure writes, no cross-step ordering requirement, so the grid
-    can be sharded; one XLA block scatter-add merges boundary windows."""
+    can be sharded; one XLA block scatter-add merges boundary windows.
+    Features arrive as ONE whole-window DMA per tile, double-buffered
+    across tiles (cf. `_streamed_fwd_kernel`)."""
     c = config.chunk
     ts = config.tile_size
     p = ts * ts
     dtype = jnp.float32
     r = pl.program_id(0)
+
+    def window_dma(row, slot):
+        return pltpu.make_async_copy(
+            featP_hbm.at[:, pl.ds(base_ref[row] * c, n_chunks * c)],
+            fbuf.at[slot],
+            semF.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        window_dma(0, 0).start()
 
     t_img = tile_ids_ref[r]
     tx = t_img % tiles_x
@@ -788,7 +826,6 @@ def _streamed_bwd_blocks_kernel(
     px = (tx * ts + local % ts).astype(dtype) + 0.5
     py = (ty * ts + local // ts).astype(dtype) + 0.5
 
-    base = base_ref[r]
     off = off_ref[r]
     count = counts_ref[r]
 
@@ -802,34 +839,19 @@ def _streamed_bwd_blocks_kernel(
     u_suf = _tri_suffix(c, dtype)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
-    def dma_feat(i, slot, start):
-        d = pltpu.make_async_copy(
-            featP_hbm.at[:, pl.ds((base + i) * c, c)],
-            fbuf.at[slot], semF.at[slot],
-        )
-        d.start() if start else d.wait()
+    fslot = jax.lax.rem(r, 2)
+
+    @pl.when(r + 1 < rows)
+    def _():
+        window_dma(r + 1, jax.lax.rem(r + 1, 2)).start()
+
+    window_dma(r, fslot).wait()
 
     n_proc = nproc_ref[r]
-    D = config.prefetch_depth
-
-    for d0 in range(D - 1):
-        @pl.when(n_proc - 1 - d0 >= 0)
-        def _(d0=d0):
-            idx = n_proc - 1 - d0
-            dma_feat(idx, jax.lax.rem(idx, D), True)
 
     def chunk_step(i):
-        slot = jax.lax.rem(i, D)
-
-        @pl.when(i - (D - 1) >= 0)
-        def _():
-            idx = i - (D - 1)
-            dma_feat(idx, jax.lax.rem(idx, D), True)
-
-        dma_feat(i, slot, False)
-
         d_chunk, m = _bwd_chunk_grads(
-            fbuf[slot], tchk_ref[0, i, :][None, :],
+            fbuf[fslot, :, pl.ds(i * c, c)], tchk_ref[0, i, :][None, :],
             g, tail[...], px, py, off, count, lane_col, l_incl, u_suf,
             config, channels, i,
         )
@@ -893,7 +915,7 @@ def _make_streamed_composite(
     fwd_call = pl.pallas_call(
         functools.partial(
             _streamed_fwd_kernel, config=config, channels=channels,
-            tiles_x=tiles_x, n_chunks=n_chunks, t_step=tps,
+            tiles_x=tiles_x, n_chunks=n_chunks, t_step=tps, rows=rows,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -908,10 +930,10 @@ def _make_streamed_composite(
                 pl.BlockSpec((tps, n_chunks, p), lambda t, *_: (t, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((dpf, _F, c), jnp.float32),
+                pltpu.VMEM((2, _F, n_chunks * c), jnp.float32),
                 pltpu.VMEM((channels, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
-                pltpu.SemaphoreType.DMA((dpf,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[
@@ -929,7 +951,7 @@ def _make_streamed_composite(
         bwd_call = pl.pallas_call(
             functools.partial(
                 _streamed_bwd_rmw_kernel, config=config, channels=channels,
-                tiles_x=tiles_x, n_chunks=n_chunks, t_step=tps,
+                tiles_x=tiles_x, n_chunks=n_chunks, t_step=tps, rows=rows,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,
@@ -956,10 +978,10 @@ def _make_streamed_composite(
                     ),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((dpf, _F, c), jnp.float32),
+                    pltpu.VMEM((2, _F, n_chunks * c), jnp.float32),
                     pltpu.VMEM((2 * dpf, _F, c), jnp.float32),
                     pltpu.VMEM((1, p), jnp.float32),
-                    pltpu.SemaphoreType.DMA((dpf,)),
+                    pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2 * dpf,)),
                     pltpu.SemaphoreType.DMA((2 * dpf,)),
                 ],
@@ -976,6 +998,7 @@ def _make_streamed_composite(
             functools.partial(
                 _streamed_bwd_blocks_kernel, config=config,
                 channels=channels, tiles_x=tiles_x, n_chunks=n_chunks,
+                rows=rows,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,
@@ -995,9 +1018,9 @@ def _make_streamed_composite(
                     pl.BlockSpec((1, channels, 1), lambda t, *_: (t, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((dpf, _F, c), jnp.float32),
+                    pltpu.VMEM((2, _F, n_chunks * c), jnp.float32),
                     pltpu.VMEM((1, p), jnp.float32),
-                    pltpu.SemaphoreType.DMA((dpf,)),
+                    pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
             out_shape=[
@@ -1040,16 +1063,28 @@ def composite_streamed_batched(
 ) -> Array:
     """Streamed-pipeline rendering of a batch of cameras -> (b, h, w, c).
 
-    `mesh`: optional jax.sharding.Mesh — shards the compositing kernels'
-    (batch * tiles) rows over all mesh axes; the binning sort and the
-    gradient unsort stay global (replicated), so the only backward
-    collective is XLA's reduction of the sharded gradient blocks.
+    `mesh`: optional jax.sharding.Mesh. With compaction on (the
+    production default) multi-shard meshes take the SHARD-LOCAL pipeline
+    (shard_local.py): each shard compacts, sorts, composites, unsorts,
+    and reduces only its own tile rows, with one psum merging the
+    per-gaussian gradients. Without compaction this falls back to the
+    replicated-sort path: only the compositing kernels' rows shard; the
+    binning sort and gradient unsort stay global.
     """
     h, w = image_shape
     ts = config.tile_size
     b, n = screen.depth.shape
     channels = screen.color.shape[-1]
     max_dup = config.max_dup
+
+    if mesh is not None and _use_compaction(config, b, n):
+        n_shards = int(np.prod(list(mesh.shape.values())))
+        if n_shards > 1:
+            from .shard_local import composite_shard_local
+
+            return composite_shard_local(
+                screen, image_shape, background, config, mesh
+            )
 
     # depth/radius/valid only steer binning (non-differentiable bookkeeping,
     # like the CUDA sort): they are explicit args with zero cotangents so the

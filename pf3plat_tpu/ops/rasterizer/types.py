@@ -83,6 +83,13 @@ class RasterizeConfig:
     pairs_budget_factor: float = 0.0
     # Candidate rows per compaction grid step (multiple of 128).
     compact_window: int = 4096
+    # Shard-local mesh pipeline (shard_local.py): per-shard compacted
+    # budget = pairs_budget_factor * shard_budget_slack * total / S. The
+    # slack absorbs tile-load imbalance across shards (each shard owns a
+    # contiguous band of tile rows whose pair density varies); overflow
+    # truncates that shard's candidate tail deterministically, like the
+    # single-chip budget.
+    shard_budget_slack: float = 1.35
     # Tiles composited per streamed-kernel grid step (python-unrolled in
     # the kernel body). Pallas per-step pipeline machinery measures ~3 us
     # on v5e — a large share of a 16x16 tile's total cost — so batching

@@ -123,9 +123,11 @@ class TestTileShardedRender:
     @pytest.mark.parametrize("budget_factor", [0.0, 1.0])
     def test_streamed_mesh_path_matches_unsharded(self, budget_factor):
         """The fast streamed pipeline under a (data=2, tile=4) mesh
-        reproduces the unsharded streamed render and its gradients —
-        with and without pair compaction (compact.py runs replicated
-        outside the shard_map; only the compositing rows shard)."""
+        reproduces the unsharded streamed render and its gradients.
+        budget_factor=0 exercises the replicated-sort fallback (only the
+        compositing rows shard); budget_factor=1 exercises the
+        SHARD-LOCAL pipeline (shard_local.py: per-shard compaction,
+        sort, RMW backward, unsort, banded reduce, psum)."""
         import sys
         sys.path.insert(0, "tests")
         from test_rasterizer import make_scene

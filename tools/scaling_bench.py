@@ -51,7 +51,12 @@ def make_scene(h, w, cams):
 def measure(scene, h, w, mesh, iters, impl):
     from pf3plat_tpu.ops.rasterizer import RasterizeConfig, render
 
-    cfg = RasterizeConfig()
+    # Production compaction on (compact_min_pairs=0 so small harness
+    # scenes engage it too): multi-shard meshes then take the
+    # SHARD-LOCAL pipeline (ops/rasterizer/shard_local.py) — per-shard
+    # compaction, sort, composite, unsort, banded reduce — which is the
+    # scaling design of record.
+    cfg = RasterizeConfig(pairs_budget_factor=0.48, compact_min_pairs=0)
     target = jnp.zeros((scene["means"].shape[0], h, w, 3))
 
     def loss(means):
@@ -112,6 +117,41 @@ def main() -> None:
         })
         print(json.dumps(results[-1]), flush=True)
 
+    # Amdahl projection from the v5e single-chip device trace (round-5
+    # numbers, tools/profile_trace.py on the 256^2 bench scene at the
+    # production config; see ROADMAP.md). Under the shard-local pipeline
+    # only the candidate-plane build + compaction scan (+ projection/SH
+    # glue) replicate; the sorts, compositing kernels, unsort, and
+    # banded reduce all run on ~1/S-sized shard arrays.
+    v5e_ms = {
+        "shardable": {
+            "bwd_rmw_kernel": 3.81, "fwd_kernel": 2.78,
+            "banded_reduce": 2.30, "fwd_sort": 2.15, "bwd_unsort": 1.95,
+        },
+        "replicated": {
+            "compact_kernel": 0.85, "candidate_build_glue": 0.5,
+            "projection_sh": 0.53,
+        },
+        "other_glue_approx": 1.6,
+    }
+    sh = sum(v5e_ms["shardable"].values())
+    rep_ms = sum(v5e_ms["replicated"].values())
+    glue = v5e_ms["other_glue_approx"]
+    total = sh + rep_ms + glue
+    amdahl = {
+        "v5e_single_chip_ms": v5e_ms,
+        "shardable_fraction": round((sh + glue * 0.5) / total, 3),
+        "projected_efficiency": {
+            str(s): round(
+                total / (s * ((sh + glue * 0.5) / s + rep_ms + glue * 0.5)),
+                3,
+            )
+            for s in (2, 4, 8)
+        },
+        "note": ("projection assumes half the unattributed glue shards; "
+                 "psum cost excluded (~10 MB/step over ICI)"),
+    }
+
     if out_path is not None:
         out_path.write_text(json.dumps({
             "impl": impl, "side": side, "iters": iters,
@@ -120,7 +160,9 @@ def main() -> None:
                      "numbers and efficiencies are not hardware-meaningful"
                      ) if jax.default_backend() == "cpu" else
                     "hardware scaling measurement",
+            "pipeline": "shard_local",
             "results": results,
+            "amdahl_model": amdahl,
         }, indent=2))
 
 
