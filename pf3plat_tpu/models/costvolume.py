@@ -108,6 +108,26 @@ class DepthPredictorCfg:
     # U-Net conv/attention compute dtype ("float32"/"bfloat16"); see
     # unet.UNetModel — params and norm/softmax reductions stay f32.
     unet_dtype: str = "float32"
+    # Plane-sweep correlation compute dtype ("float32"/"bfloat16"). The
+    # candidate scan is GATHER-bound (4-tap bilinear warp = ~12M 1KB row
+    # gathers per b=3 step, the train step's largest single cost);
+    # bfloat16 halves the gathered bytes and runs the correlation dot
+    # single-pass on the MXU. The correlation output (and everything
+    # downstream) stays f32. Cost-volume correlations feed a softmax'd
+    # depth PDF — bf16 feature precision (2^-8 rel) is ample there, but
+    # the knob defaults to f32 so parity runs are exact.
+    costvolume_dtype: str = "float32"
+    # Depth candidates per scan chunk (must divide num_depth_candidates;
+    # otherwise the unchunked path runs). Bigger chunks amortize scan
+    # overhead against larger transient warped buffers.
+    costvolume_scan_chunk: int = 16
+    # Rematerialize the two U-Nets individually (the SELECTIVE remat
+    # mode: encoder.remat="selective" wraps them here instead of
+    # checkpointing this whole predictor — the correlation volume is
+    # only ~13 MB of residuals, so recomputing the gather-bound
+    # plane-sweep in the backward is pure waste; the U-Net activations
+    # are what actually need dropping).
+    remat_unets: bool = False
 
 
 class DepthPredictorMultiView(nn.Module):
@@ -147,12 +167,14 @@ class DepthPredictorMultiView(nn.Module):
         )  # (vb, d)
         depth_candi = 1.0 / disp_candi
 
+        cv_dtype = jnp.dtype(cfg.costvolume_dtype)
+        feat_vb_cv = feat_vb.astype(cv_dtype)
         corr_sum = jnp.zeros((v * b, d, h4, w4), features.dtype)
         for shift in range(1, v):
             order = [(i + shift) % v for i in range(v)]
             feat_other = (
                 features[:, order].transpose(1, 0, 2, 3, 4).reshape(v * b, h4, w4, c)
-            )
+            ).astype(cv_dtype)
             # relative pose: other_view_w2c @ cur_view_c2w, built from w2c in.
             w2c = extrinsics
             c2w = se3_inverse(w2c)
@@ -165,33 +187,31 @@ class DepthPredictorMultiView(nn.Module):
             # scale, the train step's largest buffers) never
             # materializes; only the (vb, d, h4, w4) correlation leaves
             # the scan, and the backward rematerializes per chunk.
-            dc = 16
-            if d % dc == 0:
+            def corr_of(depth_chunk):
+                warped = warp_with_pose_depth_candidates(
+                    feat_other, intr_vb, rel_vb, depth_chunk
+                )  # (vb, dc, h4, w4, c) in cv_dtype
+                return (
+                    (feat_vb_cv[:, None] * warped).sum(-1) / (c**0.5)
+                ).astype(features.dtype)
+
+            dc = cfg.costvolume_scan_chunk
+            if d % dc == 0 and d > dc:
                 chunks = depth_candi.reshape(v * b, d // dc, dc)
                 chunks = chunks.transpose(1, 0, 2)  # (n_chunks, vb, dc)
 
                 # checkpoint: without it the scan SAVES every chunk's
                 # warped features as backward residuals — re-assembling
                 # the very volume the scan exists to avoid.
-                @jax.checkpoint
-                def corr_body(depth_chunk):
-                    warped = warp_with_pose_depth_candidates(
-                        feat_other, intr_vb, rel_vb, depth_chunk
-                    )  # (vb, dc, h4, w4, c)
-                    return (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
-
                 def corr_chunk(_, depth_chunk):
-                    return None, corr_body(depth_chunk)
+                    return None, jax.checkpoint(corr_of)(depth_chunk)
 
                 _, parts = jax.lax.scan(corr_chunk, None, chunks)
                 corr = parts.transpose(1, 0, 2, 3, 4).reshape(
                     v * b, d, h4, w4
                 )
             else:
-                warped = warp_with_pose_depth_candidates(
-                    feat_other, intr_vb, rel_vb, depth_candi
-                )  # (vb, d, h4, w4, c)
-                corr = (feat_vb[:, None] * warped).sum(-1) / (c**0.5)
+                corr = corr_of(depth_candi)
             corr_sum = corr_sum + corr
         raw_correlation_in = corr_sum / (v - 1)
         raw_correlation_in = jnp.concatenate(
@@ -203,7 +223,8 @@ class DepthPredictorMultiView(nn.Module):
         x = nn.GroupNorm(num_groups=8)(x)
         x = nn.gelu(x)
         unet_dtype = jnp.dtype(cfg.unet_dtype)
-        x = UNetModel(
+        UNet = nn.remat(UNetModel) if cfg.remat_unets else UNetModel
+        x = UNet(
             model_channels=cfg.costvolume_unet_feat_dim,
             out_channels=cfg.costvolume_unet_feat_dim,
             attention_resolutions=tuple(cfg.costvolume_unet_attn_res),
@@ -260,7 +281,7 @@ class DepthPredictorMultiView(nn.Module):
         r = nn.Conv(cfg.depth_unet_feat_dim, (3, 3))(refine_in)
         r = nn.GroupNorm(num_groups=4)(r)
         r = nn.gelu(r)
-        refine_out = UNetModel(
+        refine_out = UNet(
             model_channels=cfg.depth_unet_feat_dim,
             out_channels=cfg.depth_unet_feat_dim,
             attention_resolutions=tuple(cfg.depth_unet_attn_res),

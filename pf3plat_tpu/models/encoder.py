@@ -105,12 +105,25 @@ class EncoderCfg:
     # 48G). Mirrors the reference's gradient checkpointing in the U-Net
     # attention (`ldm_unet/util.py:102-148`).
     remat: bool = True
+    # With remat on: "selective" (default, v5e-measured 1343.5 vs
+    # 1423.5 ms/step at the reference b=3 protocol AND still fits
+    # 15.75G HBM) checkpoints the pose stacks but inside the depth
+    # predictor only the two U-Nets, keeping the ~13 MB correlation
+    # volume as a saved residual so the backward does NOT recompute the
+    # gather-bound plane-sweep scan. "coarse" (round-4 policy)
+    # checkpoints the whole depth predictor too.
+    remat_mode: str = "selective"
     # Compute dtype of the two cost-volume/depth U-Nets ("float32" or
     # "bfloat16"). Params and every numerics-sensitive reduction (GroupNorm
     # statistics, attention softmax, depth PDFs) stay f32; bfloat16 runs
     # the convs single-pass on the MXU. Trains-from-scratch modules only —
     # the frozen perception stages are untouched.
     unet_dtype: str = "float32"
+    # Plane-sweep correlation compute dtype + scan chunk; see
+    # costvolume.DepthPredictorCfg (gather-bound stage — bfloat16 halves
+    # the warp's gathered bytes; positions/output stay f32).
+    costvolume_dtype: str = "float32"
+    costvolume_scan_chunk: int = 16
     gaussian_adapter: GaussianAdapterCfg = GaussianAdapterCfg()
     costvolume_unet_feat_dim: int = 128
     costvolume_unet_channel_mult: Sequence[int] = (1, 1, 1)
@@ -199,13 +212,18 @@ class PoseFreeEncoder(nn.Module):
         else:
             pos = position_embedding_sine(hd, wd, d // 2)
         maps = maps + pos[None]
+        remat_unets = False
         if cfg.remat:
             SelfBlockM = nn.remat(SelfBlock)
             CrossBlockM = nn.remat(CrossBlock)
             MVTransformer = nn.remat(
                 MultiViewFeatureTransformer, static_argnums=(2,)
             )
-            DepthPredictor = nn.remat(DepthPredictorMultiView)
+            if cfg.remat_mode == "selective":
+                DepthPredictor = DepthPredictorMultiView
+                remat_unets = True
+            else:
+                DepthPredictor = nn.remat(DepthPredictorMultiView)
         else:
             SelfBlockM, CrossBlockM = SelfBlock, CrossBlock
             MVTransformer = MultiViewFeatureTransformer
@@ -427,6 +445,9 @@ class PoseFreeEncoder(nn.Module):
                 depth_unet_attn_res=tuple(cfg.depth_unet_attn_res),
                 depth_unet_channel_mult=tuple(cfg.depth_unet_channel_mult),
                 unet_dtype=cfg.unet_dtype,
+                costvolume_dtype=cfg.costvolume_dtype,
+                costvolume_scan_chunk=cfg.costvolume_scan_chunk,
+                remat_unets=remat_unets,
             ),
             name="depth_predictor",
         )

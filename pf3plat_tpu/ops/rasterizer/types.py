@@ -96,10 +96,13 @@ class RasterizeConfig:
     # tiles per step amortizes it. Auto-reduced to the largest divisor of
     # the (per-shard) row count.
     tiles_per_step: int = 4
-    # Outstanding chunk prefetches in the streamed compositing kernels.
-    # The per-chunk compute (~0.3 us) is far below the HBM round-trip
-    # (~1 us), so a deeper ring hides the DMA latency; diminishing
-    # returns past ~4 (v5e-measured).
+    # Depth of the streamed BACKWARD's per-chunk gradient RMW ring (the
+    # ring holds 2*prefetch_depth slots so write drains trail the reads).
+    # Since round 5 the FEATURE streams use one whole-window DMA per tile
+    # instead of a ring (measured perf-neutral — the kernels are
+    # VPU-bound, not DMA-bound — and much simpler); only the gradient
+    # read-modify-write streams still ring, because their HBM windows
+    # are shared with the next tile's drain.
     prefetch_depth: int = 4
     # Chunks processed per streamed-kernel LOOP iteration (python-unrolled
     # inside the while/fori body). Output is BIT-EXACT for any E: the
