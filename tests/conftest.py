@@ -20,4 +20,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU-pinned test processes: most of the
+# suite's wall time is XLA compiles of interpret-mode pallas pipelines,
+# which repeat identically across runs and xdist workers. SAFE here
+# because this process never touches the axon backend (whose
+# remote-compile path hangs with a persistent cache — see
+# .claude/skills/verify: never set JAX_COMPILATION_CACHE_DIR globally).
+_cache = os.environ.get(
+    "PF3PLAT_TEST_COMPILE_CACHE", "/tmp/pf3plat_test_xla_cache"
+)
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

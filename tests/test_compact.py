@@ -164,8 +164,17 @@ class TestCompactKernel:
 
 
 class TestCompactParity:
-    @pytest.mark.parametrize("fused", [True, False])
-    @pytest.mark.parametrize("tight", [False, True])
+    # fast tier keeps the two diagonal combos; the cross terms are
+    # the same code paths and run in the slow tier
+    @pytest.mark.parametrize(
+        "fused,tight",
+        [
+            (True, True),
+            (False, False),
+            pytest.param(True, False, marks=pytest.mark.slow),
+            pytest.param(False, True, marks=pytest.mark.slow),
+        ],
+    )
     def test_bit_equal_to_uncompacted(self, fused, tight):
         rng = np.random.default_rng(31)
         scene = make_scene(rng, n=300, b=2)
@@ -214,6 +223,7 @@ class TestCompactParity:
                 np.asarray(a), np.asarray(b_), err_msg=f"grad {name}"
             )
 
+    @pytest.mark.slow
     def test_overflow_render_finite_and_truncated(self):
         """Budget overflow: still a valid render (finite image/grads);
         dropping pairs can only REMOVE compositing contributions."""
@@ -235,6 +245,7 @@ class TestCompactParity:
         assert bool(jnp.all(jnp.isfinite(img)))
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    @pytest.mark.slow
     def test_chunk_256_matches_chunk_128(self):
         """chunk=256 composites the same prefixes; only the triangular-
         matmul partitioning (f32 reassociation) differs."""

@@ -89,6 +89,7 @@ class TestUNet:
         assert y.shape == (4, 16, 16, 8)
         assert bool(jnp.all(jnp.isfinite(y)))
 
+    @pytest.mark.slow
     def test_bfloat16_compute_dtype(self):
         """dtype=bfloat16 keeps f32 params/output and tracks the f32
         forward closely (norm stats and softmax stay f32); gradients

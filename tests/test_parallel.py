@@ -140,8 +140,13 @@ class TestTileShardedRender:
             compact_min_pairs=0,
         )
         rng = np.random.default_rng(4)
-        scene = make_scene(rng, n=96, b=2)
-        mesh = make_mesh(MeshCfg(data_axis=2, tile_axis=4))
+        # (2, 2) mesh / n=64: interpret-mode pallas compiles per shard
+        # dominate this test's runtime; 4 shards already exercise the
+        # multi-axis flat-index + ownership-mask + psum machinery.
+        scene = make_scene(rng, n=64, b=2)
+        mesh = make_mesh(
+            MeshCfg(data_axis=2, tile_axis=2), devices=jax.devices()[:4]
+        )
 
         def loss(means, mesh_arg):
             img = render(

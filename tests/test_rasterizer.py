@@ -194,7 +194,13 @@ class TestTiledVsBruteforce:
 
     @pytest.mark.parametrize(
         "ts,cap,shape",
-        [(16, 128, (32, 48)), (32, 256, (40, 64)), (16, 512, (64, 64))],
+        [
+            # one fast representative; the other corners move to the
+            # slow tier (identical code path, bigger scenes)
+            (32, 256, (40, 64)),
+            pytest.param(16, 128, (32, 48), marks=pytest.mark.slow),
+            pytest.param(16, 512, (64, 64), marks=pytest.mark.slow),
+        ],
     )
     def test_config_space_matches_bruteforce(self, ts, cap, shape):
         """Oracle parity across tile sizes, capacities, and nonsquare,

@@ -24,7 +24,12 @@ CFG = RasterizeConfig(tile_size=16, tile_capacity=256, chunk=128)
 class TestStreamedParity:
     @pytest.mark.parametrize(
         "shape,n,b",
-        [((32, 32), 96, 2), ((24, 40), 64, 1), ((64, 64), 160, 2)],
+        [
+            ((32, 32), 96, 2),
+            ((24, 40), 64, 1),
+            # biggest shape: slow tier (same code path as the two above)
+            pytest.param((64, 64), 160, 2, marks=pytest.mark.slow),
+        ],
     )
     def test_matches_bruteforce(self, shape, n, b):
         rng = np.random.default_rng(n + shape[0])
@@ -62,6 +67,7 @@ class TestStreamedParity:
                 err_msg=f"grad {name}",
             )
 
+    @pytest.mark.slow
     def test_background_gradient_matches_pallas(self):
         """jax.grad w.r.t. background must work (bg is threaded through the
         custom_vjp explicitly) and match the dense-table path."""
@@ -169,7 +175,9 @@ class TestChunksPerIter:
     gradients must be BIT-EQUAL across E: overshoot chunks past the
     early-exit/segment end contribute exactly-masked zeros."""
 
-    @pytest.mark.parametrize("e", [2, 4])
+    @pytest.mark.parametrize(
+        "e", [2, pytest.param(4, marks=pytest.mark.slow)]
+    )
     def test_bit_equal_across_unroll(self, e):
         rng = np.random.default_rng(23)
         scene = make_scene(rng, n=160, b=2)

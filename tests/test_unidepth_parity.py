@@ -517,6 +517,7 @@ class TestDecoderParity:
                for _ in range(2)]
         return m, feats, cam, glo
 
+    @pytest.mark.slow
     def test_full_decoder(self):
         from pf3plat_tpu.models.backbones.unidepth import (
             DecoderF, UniDepthCfg,

@@ -117,6 +117,31 @@ def main() -> None:
         })
         print(json.dumps(results[-1]), flush=True)
 
+    # Fixed-work-per-device (weak scaling): the image WIDTH scales with
+    # the device count, so every shard owns the same number of tile rows
+    # as the 1-device base run — isolates the replicated stages and the
+    # psum from the shrinking-shard effects of the strong-scaling sweep.
+    weak = []
+    base_w = None
+    for tile in layouts:
+        n = 1 if tile is None else tile
+        mesh = None
+        if tile is not None:
+            mesh = make_mesh(
+                MeshCfg(data_axis=1, tile_axis=tile),
+                devices=jax.devices()[:tile],
+            )
+        scene_k = make_scene(h, w * n, cams)
+        mrays = measure(scene_k, h, w * n, mesh, iters, impl)
+        if base_w is None:
+            base_w = mrays
+        weak.append({
+            "devices": n, "mrays_per_s": round(mrays, 3),
+            # time_1 / time_k at k x the work == mrays_k / (k * mrays_1)
+            "weak_efficiency": round(mrays / (base_w * n), 4),
+        })
+        print(json.dumps(weak[-1]), flush=True)
+
     # Amdahl projection from the v5e single-chip device trace (round-5
     # numbers, tools/profile_trace.py on the 256^2 bench scene at the
     # production config; see ROADMAP.md). Under the shard-local pipeline
@@ -162,6 +187,7 @@ def main() -> None:
                     "hardware scaling measurement",
             "pipeline": "shard_local",
             "results": results,
+            "weak_scaling": weak,
             "amdahl_model": amdahl,
         }, indent=2))
 
