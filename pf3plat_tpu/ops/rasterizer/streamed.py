@@ -16,11 +16,12 @@ sort as sort payload operands, after which every downstream access is
   3. per-tile segment boundaries via the same vectorized binary search as
      `binning.py`;
   4. the Pallas forward kernel walks tile t's segment
-     [starts[t], starts[t]+count) directly in the sorted array with
-     chunk-granular async DMAs from HBM (128-aligned windows + row masks),
-     double-buffered, early-exiting on transmittance saturation — the CUDA
-     rasterizer's "global sorted list + per-tile ranges" design, with DMA
-     replacing shared-memory staging;
+     [starts[t], starts[t]+count) directly in the sorted array — ONE
+     whole-window async DMA per tile (n_chunks*chunk 128-aligned lanes,
+     double-buffered across consecutive tiles), then a VPU chunk loop
+     with row masks, early-exiting on transmittance saturation — the
+     CUDA rasterizer's "global sorted list + per-tile ranges" design,
+     with DMA replacing shared-memory staging;
   5. the backward kernel re-DMAs the same windows, computes per-chunk
      feature gradients, and ACCUMULATES them in-place into HBM gradient
      buffers laid out exactly like the sorted features (read-modify-write
@@ -34,12 +35,14 @@ sort as sort payload operands, after which every downstream access is
      original pair order, and a reshape-sum over the max_dup axis yields
      per-gaussian gradients — replacing a row scatter-add entirely.
 
-Feature layout (measured, round 4): ONE 9-row stacked plane
-`featP = [x, y, ca, cb, cc, op, c0, c1, c2]`, one strided DMA per chunk
-window. The DMA start/wait ops themselves are the kernels' dominant cost
-(~1 us of scalar-core time per chunk, independent of prefetch depth), so
-halving the op count beat the earlier tile-height-aligned featA(8) +
-featB(c2) split despite the 9-sublane stride.
+Feature layout: ONE 9-row stacked plane
+`featP = [x, y, ca, cb, cc, op, c0, c1, c2]`. Round 4 fetched it in
+per-chunk DMA rings on the theory that DMA start/wait ops dominated;
+round 5 moved to one whole-window DMA per tile and measured it
+PERF-NEUTRAL — the kernels are VPU-bound (alpha/transmittance
+transcendentals), not DMA-bound (see ROADMAP "Speed of light") — and
+kept the whole-window form for its simpler pipeline (no ring
+bookkeeping or early-exit drains in the fwd/blocks kernels).
 
 Same capacity/ordering semantics as the dense-table pipeline (count =
 min(segment, tile_capacity), fused or exact 2-key sort), so the oracle
@@ -71,12 +74,10 @@ from .types import RasterizeConfig, ScreenGaussians
 Array = jax.Array
 
 # Feature plane sublane rows: [x, y, ca, cb, cc, op, c0, c1, c2] + 7 zero
-# pad rows (Mosaic DMA slices must be 8-sublane aligned). One DMA per
-# chunk window: a measured ~40% of the compositing kernels' time is the
-# DMA start/wait ops themselves (scalar-core execution, ~1 us per chunk
-# regardless of prefetch depth), so ONE 16-row window per chunk beats the
-# earlier featA(8) + featB(c2) two-window split — the 7/16 pad bytes cost
-# ~0.02 ms of HBM bandwidth against ~1.5 ms of saved op time.
+# pad rows (Mosaic DMA slices must be 8-sublane aligned). The 7/16 pad
+# bytes cost ~0.03 ms of HBM bandwidth per frame — noise against a
+# VPU-bound ~17 ms frame — and buy a single clean 16-row window per
+# whole-tile DMA.
 _F = 16
 
 

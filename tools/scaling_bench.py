@@ -13,6 +13,7 @@ Usage: python tools/scaling_bench.py [image_side] [iters] [impl] [out.json]
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -183,6 +184,11 @@ def main() -> None:
             "backend": jax.default_backend(),
             "note": ("harness validation on virtual CPU devices; absolute "
                      "numbers and efficiencies are not hardware-meaningful"
+                     " — in particular the virtual devices OVERSUBSCRIBE "
+                     f"the host's {os.cpu_count()} physical cores, so "
+                     ">=4-device efficiencies are bounded by core "
+                     "contention, not the algorithm; the 2-device point "
+                     "and the amdahl_model are the decision-grade signals"
                      ) if jax.default_backend() == "cpu" else
                     "hardware scaling measurement",
             "pipeline": "shard_local",
