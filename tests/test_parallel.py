@@ -170,3 +170,36 @@ class TestTileShardedRender:
             np.asarray(sh_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
         )
 
+
+
+class TestShardBudget:
+    def test_shard_budget_invariants(self):
+        """shard_pairs_budget must always return a chunk-multiple budget
+        that covers at least one full tile window plus the compaction
+        kernel's staged-block slack, never exceeds the always-exact
+        bound, and splits the global fraction with slack headroom."""
+        from pf3plat_tpu.ops.rasterizer import RasterizeConfig
+        from pf3plat_tpu.ops.rasterizer.shard_local import (
+            shard_pairs_budget,
+        )
+
+        for factor in (0.3, 0.48, 1.0):
+            for b, n in ((2, 4096), (6, 65536), (1, 512)):
+                for s in (2, 4, 8):
+                    cfg = RasterizeConfig(
+                        pairs_budget_factor=factor, compact_min_pairs=0
+                    )
+                    bud = shard_pairs_budget(cfg, b, n, s)
+                    total = b * n * cfg.max_dup
+                    ck = cfg.chunk
+                    n_chunks = cfg.tile_capacity // ck + 1
+                    cx = cfg.compact_window + 128
+                    assert bud % ck == 0
+                    # One full tile window + the append slack always fit.
+                    assert bud >= n_chunks * ck + cx
+                    # Never beyond the exact bound (rounded to chunk).
+                    assert bud <= -(-(total + cx) // ck) * ck
+                    # Big scenes: per-shard slack headroom is applied.
+                    if total * factor / s > 4 * cx:
+                        want = total * factor * cfg.shard_budget_slack / s
+                        assert bud >= want * 0.99

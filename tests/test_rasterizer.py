@@ -288,6 +288,67 @@ class TestTiledVsBruteforce:
         # Gradients must be finite and nonzero.
         assert float(jnp.abs(g_t[0]).max()) > 0
 
+class TestTightCullBound:
+    def test_bound_is_conservative_on_random_conics(self):
+        """Property test of the cull predicate itself: whenever
+        tile_alpha_cull drops a (gaussian, tile) pair, EVERY pixel
+        center of that tile must evaluate below alpha_min under the
+        kernels' own alpha formula — over random PD conics, means both
+        inside and far outside the tile, and opacities spanning the
+        cutoff."""
+        from pf3plat_tpu.ops.rasterizer.binning import tile_alpha_cull
+
+        cfg = RasterizeConfig(tile_size=16)
+        rng = np.random.default_rng(7)
+        n = 4096
+        # Random PD conics: C = R diag(1/sx^2, 1/sy^2) R^T.
+        th = rng.uniform(0, np.pi, n)
+        sx = rng.uniform(0.3, 20.0, n)
+        sy = rng.uniform(0.3, 20.0, n)
+        c, s = np.cos(th), np.sin(th)
+        ca = (c * c) / sx**2 + (s * s) / sy**2
+        cc = (s * s) / sx**2 + (c * c) / sy**2
+        cb = c * s * (1.0 / sx**2 - 1.0 / sy**2)
+        mu_x = rng.uniform(-40.0, 56.0, n).astype(np.float32)
+        mu_y = rng.uniform(-40.0, 56.0, n).astype(np.float32)
+        op = rng.uniform(1e-4, 1.0, n).astype(np.float32)
+        tx = np.zeros(n, np.int32)  # tile [0,16) x [0,16)
+        ty = np.zeros(n, np.int32)
+
+        keep = np.asarray(
+            tile_alpha_cull(
+                jnp.asarray(mu_x), jnp.asarray(mu_y),
+                jnp.asarray(ca, dtype=jnp.float32),
+                jnp.asarray(cb, dtype=jnp.float32),
+                jnp.asarray(cc, dtype=jnp.float32),
+                jnp.asarray(op), jnp.asarray(tx), jnp.asarray(ty), cfg,
+            )
+        )
+        # Kernel-formula alpha at every pixel center of the tile.
+        px = np.arange(16, dtype=np.float32) + 0.5
+        gx, gy = np.meshgrid(px, px)
+        dx = gx.reshape(-1)[None, :] - mu_x[:, None].astype(np.float32)
+        dy = gy.reshape(-1)[None, :] - mu_y[:, None].astype(np.float32)
+        power = (
+            -0.5 * (ca[:, None].astype(np.float32) * dx * dx
+                    + cc[:, None].astype(np.float32) * dy * dy)
+            - cb[:, None].astype(np.float32) * dx * dy
+        ).astype(np.float32)
+        alpha = op[:, None] * np.exp(np.minimum(power, 0.0),
+                                     dtype=np.float32)
+        hits = (alpha >= cfg.alpha_min).any(axis=1)
+        # Conservative: a dropped pair may never contain a contributing
+        # pixel. (Kept pairs with no hits are allowed — that is the
+        # bound's slack.)
+        bad = hits & ~keep
+        assert not bad.any(), (
+            f"{bad.sum()} culled pairs actually contribute; first idx "
+            f"{np.argmax(bad)}"
+        )
+        # And the cull must actually bite on this distribution.
+        assert (~keep).sum() > n // 10
+
+
 class TestTightCull:
     """Opacity-aware tile culling (binning.tile_alpha_cull) drops only
     exactly-zero pairs. Removing a zero pair shifts later pairs across
